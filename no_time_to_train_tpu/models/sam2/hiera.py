@@ -1,0 +1,191 @@
+"""Hiera image trunk (flax, NHWC) — TPU-native rewrite of the reference
+sam2/modeling/backbones/hieradet.py.
+
+Design notes (TPU-first):
+  - NHWC throughout; window partition is a pure reshape/transpose (static
+    shapes at the fixed 1024 input, so XLA lays windows out for free).
+  - Windowed attention runs as batched SDPA over [B*nWin, ws*ws] tokens; the
+    three global-attention blocks run full SDPA over 4096 tokens (the Pallas
+    flash-attention hot spot, ops/attention.py).
+  - Q-pooling (stage transitions) is a 2x2 max pool fused into the attention
+    block, as in the reference (hieradet.py:62-65).
+"""
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from no_time_to_train_tpu.models.sam2.common import MLP, LayerNorm
+from no_time_to_train_tpu.ops.attention import sdpa
+from no_time_to_train_tpu.ops.resize import resize
+
+
+def window_partition(x, ws):
+    """[B, H, W, C] -> ([B*nw, ws, ws, C], (Hp, Wp)) with zero padding."""
+    b, h, w, c = x.shape
+    pad_h = (ws - h % ws) % ws
+    pad_w = (ws - w % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(windows, ws, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // ws // ws)
+    x = windows.reshape(b, hp // ws, wp // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+def _max_pool_2x2(x):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(2, 4))
+
+
+class MultiScaleAttention(nn.Module):
+    dim_out: int
+    num_heads: int
+    q_pool: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        qkv = nn.Dense(3 * self.dim_out, name="qkv", dtype=self.dtype)(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, -1)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.q_pool:
+            q = _max_pool_2x2(q.reshape(b, h, w, -1))
+            h, w = q.shape[1:3]
+            q = q.reshape(b, h * w, self.num_heads, -1)
+
+        out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                   v.transpose(0, 2, 1, 3))
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, -1)
+        return nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
+
+
+class MultiScaleBlock(nn.Module):
+    dim: int
+    dim_out: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    q_stride: bool = False
+    window_size: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        xn = LayerNorm(eps=1e-6, name="norm1", dtype=self.dtype)(x)
+
+        if self.dim != self.dim_out:
+            shortcut = nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(xn)
+            if self.q_stride:
+                shortcut = _max_pool_2x2(shortcut)
+
+        ws = self.window_size
+        h, w = xn.shape[1], xn.shape[2]
+        if ws > 0:
+            xw, pad_hw = window_partition(xn, ws)
+        else:
+            xw = xn
+
+        attn = MultiScaleAttention(self.dim_out, self.num_heads,
+                                   q_pool=self.q_stride, name="attn",
+                                   dtype=self.dtype)
+        xw = attn(xw)
+
+        if self.q_stride:
+            ws = self.window_size // 2
+            h, w = shortcut.shape[1:3]
+            pad_h = (ws - h % ws) % ws if ws > 0 else 0
+            pad_w = (ws - w % ws) % ws if ws > 0 else 0
+            pad_hw = (h + pad_h, w + pad_w)
+
+        if self.window_size > 0:
+            xw = window_unpartition(xw, ws, pad_hw, (h, w))
+
+        x = shortcut + xw
+        xm = LayerNorm(eps=1e-6, name="norm2", dtype=self.dtype)(x)
+        x = x + MLP(int(self.dim_out * self.mlp_ratio), self.dim_out, 2,
+                    activation="gelu", name="mlp", dtype=self.dtype)(xm)
+        return x
+
+
+class Hiera(nn.Module):
+    """Returns per-stage feature maps [B, H_s, W_s, C_s], highest res first."""
+    embed_dim: int = 96
+    num_heads: int = 1
+    stages: Tuple[int, ...] = (2, 3, 16, 3)
+    q_pool: int = 3
+    dim_mul: float = 2.0
+    head_mul: float = 2.0
+    window_pos_embed_bkg_spatial_size: Tuple[int, int] = (14, 14)
+    window_spec: Tuple[int, ...] = (8, 4, 14, 7)
+    global_att_blocks: Tuple[int, ...] = (12, 16, 20)
+    return_interm_layers: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        depth = sum(self.stages)
+        self.stage_ends = [sum(self.stages[:i]) - 1
+                           for i in range(1, len(self.stages) + 1)]
+        q_pool_blocks = [x + 1 for x in self.stage_ends[:-1]][: self.q_pool]
+
+        self.patch_proj = nn.Conv(self.embed_dim, (7, 7), strides=(4, 4),
+                                  padding=((3, 3), (3, 3)), name="patch_embed",
+                                  dtype=self.dtype)
+        bh, bw = self.window_pos_embed_bkg_spatial_size
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.zeros, (bh, bw, self.embed_dim))
+        ws0 = self.window_spec[0]
+        self.pos_embed_window = self.param(
+            "pos_embed_window", nn.initializers.zeros, (ws0, ws0, self.embed_dim))
+
+        blocks = []
+        embed_dim, num_heads = self.embed_dim, self.num_heads
+        cur_stage = 1
+        self.channel_list = []
+        for i in range(depth):
+            dim_out = embed_dim
+            window_size = self.window_spec[cur_stage - 1]
+            if self.global_att_blocks is not None and i in self.global_att_blocks:
+                window_size = 0
+            if i - 1 in self.stage_ends:
+                dim_out = int(embed_dim * self.dim_mul)
+                num_heads = int(num_heads * self.head_mul)
+                cur_stage += 1
+            blocks.append(MultiScaleBlock(
+                dim=embed_dim, dim_out=dim_out, num_heads=num_heads,
+                q_stride=(i in q_pool_blocks), window_size=window_size,
+                name=f"blocks_{i}", dtype=self.dtype))
+            embed_dim = dim_out
+        self.blocks = blocks
+
+    def _pos_embed_for(self, h, w):
+        pe = resize(self.pos_embed.astype(jnp.float32)[None], (h, w),
+                    mode="bicubic")[0]
+        win = self.pos_embed_window
+        tiles = (h // win.shape[0], w // win.shape[1], 1)
+        pe = pe + jnp.tile(win, tiles)
+        return pe.astype(self.dtype)
+
+    def __call__(self, x):
+        x = self.patch_proj(x)  # [B, H/4, W/4, C]
+        x = x + self._pos_embed_for(x.shape[1], x.shape[2])
+        outputs = []
+        for i, blk in enumerate(self.blocks):
+            x = blk(x)
+            if (i == self.stage_ends[-1]) or (
+                    i in self.stage_ends and self.return_interm_layers):
+                outputs.append(x)
+        return outputs

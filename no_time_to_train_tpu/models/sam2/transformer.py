@@ -1,0 +1,189 @@
+"""Two-way transformer + attention layers (reference
+sam2/modeling/sam/transformer.py, flax rewrite) including the NTTT-specific
+`skip_last_n_keys` masking (:268-277) that hides the custom IoU token from
+image->token cross-attention, and RoPE attention with `num_k_exclude_rope`
+(:345-351) for object-pointer tokens."""
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from no_time_to_train_tpu.models.sam2.common import MLP, LayerNorm
+from no_time_to_train_tpu.models.sam2.pos_enc import axial_rope_cos_sin, apply_rotary
+from no_time_to_train_tpu.ops.attention import sdpa
+
+
+def _skip_mask(n_q, n_k, skip_last_n_keys, is_cross_skip, dtype=bool):
+    if skip_last_n_keys <= 0:
+        return None
+    m = jnp.ones((n_q, n_k), dtype=bool)
+    if is_cross_skip:
+        m = m.at[:, n_k - skip_last_n_keys:].set(False)
+    else:
+        m = m.at[: n_q - skip_last_n_keys, n_k - skip_last_n_keys:].set(False)
+    return m
+
+
+class Attention(nn.Module):
+    embedding_dim: int
+    num_heads: int
+    downsample_rate: int = 1
+    kv_in_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, skip_last_n_keys: int = 0,
+                 is_cross_skip: bool = False):
+        internal = self.embedding_dim // self.downsample_rate
+        q = nn.Dense(internal, name="q_proj", dtype=self.dtype)(q)
+        k = nn.Dense(internal, name="k_proj", dtype=self.dtype)(k)
+        v = nn.Dense(internal, name="v_proj", dtype=self.dtype)(v)
+
+        def split(x):
+            b, n, c = x.shape
+            return x.reshape(b, n, self.num_heads, c // self.num_heads
+                             ).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        mask = _skip_mask(qh.shape[-2], kh.shape[-2], skip_last_n_keys,
+                          is_cross_skip)
+        out = sdpa(qh, kh, vh, mask=mask)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return nn.Dense(self.embedding_dim, name="out_proj", dtype=self.dtype)(out)
+
+
+class RoPEAttention(nn.Module):
+    embedding_dim: int
+    num_heads: int
+    downsample_rate: int = 1
+    kv_in_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rope_k_repeat: bool = False
+    feat_sizes: Tuple[int, int] = (32, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, num_k_exclude_rope: int = 0):
+        internal = self.embedding_dim // self.downsample_rate
+        q = nn.Dense(internal, name="q_proj", dtype=self.dtype)(q)
+        k = nn.Dense(internal, name="k_proj", dtype=self.dtype)(k)
+        v = nn.Dense(internal, name="v_proj", dtype=self.dtype)(v)
+
+        def split(x):
+            b, n, c = x.shape
+            return x.reshape(b, n, self.num_heads, c // self.num_heads
+                             ).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+
+        head_dim = internal // self.num_heads
+        n_q = qh.shape[-2]
+        side = int(math.sqrt(n_q))
+        assert side * side == n_q, "RoPE attention expects square token grids"
+        cos, sin = axial_rope_cos_sin(head_dim, side, side, self.rope_theta,
+                                      dtype=jnp.float32)
+
+        num_k_rope = kh.shape[-2] - num_k_exclude_rope
+        if qh.shape[-2] != num_k_rope:
+            assert self.rope_k_repeat
+            repeat = num_k_rope // n_q
+        else:
+            repeat = 1
+        qh = apply_rotary(qh, cos, sin)
+        k_rot = apply_rotary(kh[:, :, :num_k_rope], cos, sin, repeat_freqs=repeat)
+        kh = jnp.concatenate([k_rot, kh[:, :, num_k_rope:]], axis=2) \
+            if num_k_exclude_rope > 0 else k_rot
+
+        out = sdpa(qh, kh, vh)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return nn.Dense(self.embedding_dim, name="out_proj", dtype=self.dtype)(out)
+
+
+class TwoWayAttentionBlock(nn.Module):
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int = 2048
+    activation: str = "relu"
+    attention_downsample_rate: int = 2
+    skip_first_layer_pe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe, skip_last_n_keys=0):
+        self_attn = Attention(self.embedding_dim, self.num_heads,
+                              name="self_attn", dtype=self.dtype)
+        if self.skip_first_layer_pe:
+            queries = self_attn(queries, queries, queries,
+                                skip_last_n_keys=skip_last_n_keys)
+        else:
+            q = queries + query_pe
+            queries = queries + self_attn(q, q, queries,
+                                          skip_last_n_keys=skip_last_n_keys)
+        queries = LayerNorm(name="norm1", dtype=self.dtype)(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        attn_out = Attention(self.embedding_dim, self.num_heads,
+                             downsample_rate=self.attention_downsample_rate,
+                             name="cross_attn_token_to_image",
+                             dtype=self.dtype)(q, k, keys)
+        queries = LayerNorm(name="norm2", dtype=self.dtype)(queries + attn_out)
+
+        queries = queries + MLP(self.mlp_dim, self.embedding_dim, 2,
+                                activation=self.activation, name="mlp",
+                                dtype=self.dtype)(queries)
+        queries = LayerNorm(name="norm3", dtype=self.dtype)(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        attn_out = Attention(self.embedding_dim, self.num_heads,
+                             downsample_rate=self.attention_downsample_rate,
+                             name="cross_attn_image_to_token",
+                             dtype=self.dtype)(
+            k, q, queries, skip_last_n_keys=skip_last_n_keys, is_cross_skip=True)
+        keys = LayerNorm(name="norm4", dtype=self.dtype)(keys + attn_out)
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    depth: int
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int
+    activation: str = "relu"
+    attention_downsample_rate: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, point_embedding,
+                 skip_last_n_keys: int = 0):
+        """image_embedding/image_pe: [B, H, W, C] (NHWC); point_embedding
+        [B, N, C]. Returns (queries [B, N, C], keys [B, HW, C])."""
+        b, h, w, c = image_embedding.shape
+        keys = image_embedding.reshape(b, h * w, c)
+        key_pe = image_pe.reshape(b, h * w, c) if image_pe.ndim == 4 else image_pe
+
+        queries = point_embedding
+        for i in range(self.depth):
+            queries, keys = TwoWayAttentionBlock(
+                self.embedding_dim, self.num_heads, self.mlp_dim,
+                activation=self.activation,
+                attention_downsample_rate=self.attention_downsample_rate,
+                skip_first_layer_pe=(i == 0), name=f"layers_{i}",
+                dtype=self.dtype)(
+                queries, keys, point_embedding, key_pe,
+                skip_last_n_keys=skip_last_n_keys)
+
+        q = queries + point_embedding
+        k = keys + key_pe
+        attn_out = Attention(self.embedding_dim, self.num_heads,
+                             downsample_rate=self.attention_downsample_rate,
+                             name="final_attn_token_to_image",
+                             dtype=self.dtype)(
+            q, k, keys, skip_last_n_keys=skip_last_n_keys)
+        queries = LayerNorm(name="norm_final_attn", dtype=self.dtype)(
+            queries + attn_out)
+        return queries, keys

@@ -1,0 +1,36 @@
+"""Scaled dot-product attention for TPU.
+
+Single entry point used by every attention module in the framework (Hiera,
+two-way decoder, memory attention, DINO). Replaces the reference's
+torch SDPA / flash-attn selection (sam2/modeling/sam/transformer.py:23-41).
+
+The XLA path below is fully fused by Mosaic/XLA for the shapes this framework
+uses; a Pallas flash-attention kernel can be swapped in via `impl="pallas"`
+for long-sequence cases (Hiera global blocks at 4096 tokens).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["sdpa"]
+
+
+def _xla_sdpa(q, k, v, mask=None):
+    # q,k,v: [..., heads, N, D] — same layout as torch SDPA
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], q.dtype))
+    logits = jnp.einsum("...qd,...kd->...qk", q, k) * scale
+    if mask is not None:
+        big_neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+        logits = jnp.where(mask, logits, big_neg)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+
+def sdpa(q, k, v, mask=None, impl="xla"):
+    """Attention over [..., heads, N, D]. `mask` is broadcastable to
+    [..., heads, Nq, Nk] with True = attend (torch bool attn_mask semantics)."""
+    if impl == "pallas":
+        from no_time_to_train_tpu.ops.flash_attention import flash_sdpa
+        return flash_sdpa(q, k, v, mask=mask)
+    return _xla_sdpa(q, k, v, mask)
