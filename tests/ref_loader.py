@@ -83,3 +83,87 @@ def build_ref_sam2(config_name="sam2_hiera_t.yaml", image_size=None,
         for p in model.parameters():
             p.copy_(torch.randn(p.shape, generator=g) * 0.02)
     return model.eval()
+
+
+def install_torchvision_shim():
+    """Provide torchvision.ops.boxes.batched_nms / nms (pure torch) so the
+    reference matching utils import without torchvision."""
+    if "torchvision" in sys.modules:
+        return
+    import torch
+
+    def nms(boxes, scores, iou_threshold):
+        order = torch.argsort(scores, descending=True, stable=True)
+        keep = []
+        suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        for i in order.tolist():
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            lt = torch.maximum(boxes[i, :2], boxes[:, :2])
+            rb = torch.minimum(boxes[i, 2:], boxes[:, 2:])
+            wh = (rb - lt).clamp(min=0)
+            inter = wh[:, 0] * wh[:, 1]
+            union = areas[i] + areas - inter
+            iou = torch.where(union > 0, inter / union, torch.zeros_like(union))
+            suppressed |= iou > iou_threshold
+            suppressed[i] = True  # processed (kept separately)
+        return torch.tensor(keep, dtype=torch.long)
+
+    def batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.empty((0,), dtype=torch.long)
+        max_coord = boxes.max()
+        offsets = idxs.to(boxes) * (max_coord + torch.tensor(1.0).to(boxes))
+        return nms(boxes + offsets[:, None], scores, iou_threshold)
+
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    boxes_mod = types.ModuleType("torchvision.ops.boxes")
+    def box_area(boxes):
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    boxes_mod.batched_nms = batched_nms
+    boxes_mod.nms = nms
+    boxes_mod.box_area = box_area
+    ops.boxes = boxes_mod
+    ops.batched_nms = batched_nms
+    ops.nms = nms
+    tv.ops = ops
+    transforms_mod = types.ModuleType("torchvision.transforms")
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean, self.std = mean, std
+
+        def __call__(self, x):
+            mean = torch.tensor(self.mean).view(1, -1, 1, 1).to(x)
+            std = torch.tensor(self.std).view(1, -1, 1, 1).to(x)
+            if x.dim() == 3:
+                return (x - mean[0]) / std[0]
+            return (x - mean) / std
+
+    class Resize:
+        def __init__(self, size, *a, **k):
+            self.size = size if isinstance(size, (tuple, list)) else (size, size)
+
+        def __call__(self, x):
+            import torch.nn.functional as TF
+            return TF.interpolate(x[None] if x.dim() == 3 else x,
+                                  size=tuple(self.size), mode="bilinear",
+                                  align_corners=False).squeeze(0)
+
+    class ToTensor:
+        def __call__(self, x):
+            import numpy as _np
+            return torch.from_numpy(_np.asarray(x).transpose(2, 0, 1)) / 255.0
+
+    transforms_mod.Normalize = Normalize
+    transforms_mod.Resize = Resize
+    transforms_mod.ToTensor = ToTensor
+    tv.transforms = transforms_mod
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.ops.boxes"] = boxes_mod
+    sys.modules["torchvision.transforms"] = transforms_mod
