@@ -118,9 +118,17 @@ def install_torchvision_shim():
         offsets = idxs.to(boxes) * (max_coord + torch.tensor(1.0).to(boxes))
         return nms(boxes + offsets[:, None], scores, iou_threshold)
 
-    tv = types.ModuleType("torchvision")
-    ops = types.ModuleType("torchvision.ops")
-    boxes_mod = types.ModuleType("torchvision.ops.boxes")
+    import importlib.machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        m.__version__ = "0.0.0-shim"
+        return m
+
+    tv = _mod("torchvision")
+    ops = _mod("torchvision.ops")
+    boxes_mod = _mod("torchvision.ops.boxes")
     def box_area(boxes):
         return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
@@ -131,7 +139,7 @@ def install_torchvision_shim():
     ops.batched_nms = batched_nms
     ops.nms = nms
     tv.ops = ops
-    transforms_mod = types.ModuleType("torchvision.transforms")
+    transforms_mod = _mod("torchvision.transforms")
 
     class Normalize:
         def __init__(self, mean, std):
