@@ -94,8 +94,8 @@ class NoAMGMatcher:
         if sam2_params is None:
             s = self.sam2_cfg.image_size
             sam2_params = self.sam2.init(
-                key, jnp.zeros((1, s, s, 3)), method=self.sam2.forward_image
-            )["params"]
+                key, jnp.zeros((1, s, s, 3)),
+                method=self.sam2.init_everything)["params"]
         if dino_params is None:
             e = self.enc_cfg.img_size
             dino_params = self.dino.init(key, jnp.zeros((1, e, e, 3)))["params"]

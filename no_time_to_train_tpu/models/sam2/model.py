@@ -109,6 +109,35 @@ class SAM2(nn.Module):
                                            name="mask_downsample",
                                            dtype=self.dtype)
 
+    def init_everything(self, imgs):
+        """Touch every submodule once so `init` creates the full param tree
+        (used only for random-weight initialization; real runs convert torch
+        checkpoints)."""
+        c = self.cfg
+        out = self.forward_image(imgs)
+        fpn = out["backbone_fpn"]
+        heads = self.forward_sam_heads(
+            fpn[-1], jnp.zeros((1, 1, 2), jnp.float32),
+            jnp.ones((1, 1), jnp.int32), None,
+            [fpn[0], fpn[1]] if c.use_high_res_features_in_sam else None,
+            True)
+        s = c.image_size
+        mem_feat, mem_pos = self.encode_memory(
+            fpn[-1], jnp.zeros((1, s, s, 1)), True)
+        n = fpn[-1].shape[1] * fpn[-1].shape[2]
+        curr = fpn[-1].reshape(1, n, c.d_model)
+        fused = self.memory_conditioned_features(
+            curr, curr, mem_feat.reshape(1, -1, mem_feat.shape[-1]),
+            mem_pos.reshape(1, -1, mem_pos.shape[-1]))
+        # mask prompt path (mask_downscaling convs) + mask_downsample
+        emb = c.sam_image_embedding_size
+        self.sam_prompt_encoder(
+            points=None, masks=jnp.zeros((1, emb * 4, emb * 4, 1)))
+        if c.use_obj_ptrs_in_encoder:
+            self.mask_downsample(jnp.zeros((1, s, s, 1), self.dtype))
+        _ = self.no_mem_features(curr)
+        return heads[0]
+
     # ------------------------------------------------------------------ image
     def forward_image(self, imgs):
         """imgs: [B, H, W, 3] normalized. Returns dict with `backbone_fpn`
