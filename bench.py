@@ -1,0 +1,70 @@
+"""Benchmark: end-to-end test-phase throughput of the flagship configuration
+(SAM2 Hiera-L + DINOv2-L, 10-shot memory bank, 32x32 point grid, COCO-style
+single-image steps) on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo commits no throughput numbers (SURVEY §6), so
+the baseline is an estimate of the reference pipeline on one A100:
+the fp32 test step costs ~4.5 TFLOPs/image (two ViT forwards + 1024-prompt
+decode in 4 serial microbatches) and the published pipeline runs fp32
+(precision: 32), giving ~1.5 img/s on one A100 — consistent with the
+schedules in scripts/run_nttt_eval.sh. Value documented here so the ratio is
+reproducible; replace with a measured number when reference hardware exists.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 1.5  # img/s, reference on one A100 (see docstring)
+
+N_WARMUP = 2
+N_ITERS = 10
+
+
+def main():
+    import jax
+
+    from no_time_to_train_tpu.models.matching.pipeline import (
+        NoAMGMatcher, MatchingConfig)
+    from no_time_to_train_tpu.models.matching import memory_bank as mb
+
+    compute_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    matching = MatchingConfig(compute_dtype=compute_dtype)
+    t0 = time.time()
+    matcher = NoAMGMatcher("sam2_hiera_l.yaml", "dinov2_large", matching,
+                           n_classes=20, memory_length=10)
+    matcher.bank = mb.postprocess(matcher.bank)
+    init_s = time.time() - t0
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.random((1024, 1024, 3), np.float32) for _ in range(3)]
+
+    t0 = time.time()
+    out = matcher.test(imgs[0])
+    compile_s = time.time() - t0
+
+    for i in range(N_WARMUP):
+        matcher.test(imgs[i % len(imgs)])
+
+    t0 = time.time()
+    for i in range(N_ITERS):
+        out = matcher.test(imgs[i % len(imgs)])
+    dt = time.time() - t0
+    fps = N_ITERS / dt
+
+    print(json.dumps({
+        "metric": "COCO images/sec (SAM2-L + DINOv2-L, 10-shot test step)",
+        "value": round(fps, 3),
+        "unit": "img/s",
+        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+    }))
+    print(f"# init {init_s:.1f}s, first-step (compile) {compile_s:.1f}s, "
+          f"steady {1000 * dt / N_ITERS:.0f} ms/img, dtype={compute_dtype}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,31 @@ def grid_points(points_per_side, sam_input_size):
     return jnp.asarray(pts)
 
 
+def _random_params_like(init_fn, key, seed):
+    """Random params via eval_shape + host numpy (running flax `init` un-jitted
+    dispatches thousands of tiny ops to the device — pathological through a
+    remote-TPU tunnel; shapes are all we need for random weights). Norm scales
+    and layer-scale gammas init to 1, biases to 0, everything else He-ish."""
+    shapes = jax.eval_shape(init_fn, key)["params"]
+    rng = np.random.default_rng(seed)
+    flat = jax.tree_util.tree_flatten_with_path(shapes)
+    leaves = []
+    for path, s in flat[0]:
+        names = [str(getattr(k, "key", k)).lower() for k in path]
+        name = names[-1]
+        parent = names[-2] if len(names) > 1 else ""
+        if (("norm" in parent or "layernorm" in parent) and name == "weight") \
+                or "gamma" in name or "layer_scale" in name:
+            arr = np.ones(s.shape)
+        elif "bias" in name:
+            arr = np.zeros(s.shape)
+        else:
+            fan_in = int(np.prod(s.shape[:-1])) or 1
+            arr = rng.standard_normal(s.shape) / np.sqrt(max(fan_in, 1))
+        leaves.append(arr.astype(s.dtype))
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
 class NoAMGMatcher:
     """Host-side orchestrator owning params + bank + jitted phase functions."""
 
@@ -93,12 +118,15 @@ class NoAMGMatcher:
         key = jax.random.PRNGKey(seed)
         if sam2_params is None:
             s = self.sam2_cfg.image_size
-            sam2_params = self.sam2.init(
-                key, jnp.zeros((1, s, s, 3)),
-                method=self.sam2.init_everything)["params"]
+            sam2_params = _random_params_like(
+                lambda k: self.sam2.init(k, jnp.zeros((1, s, s, 3)),
+                                         method=self.sam2.init_everything),
+                key, seed)
         if dino_params is None:
             e = self.enc_cfg.img_size
-            dino_params = self.dino.init(key, jnp.zeros((1, e, e, 3)))["params"]
+            dino_params = _random_params_like(
+                lambda k: self.dino.init(k, jnp.zeros((1, e, e, 3))),
+                key, seed + 1)
         self.sam2_params = sam2_params
         self.dino_params = dino_params
 

@@ -57,7 +57,8 @@ def batched_nms(boxes, scores, classes, valid, iou_threshold):
         row = suppress_mat[i] & (jnp.arange(n) > i) & alive
         return suppressed | row
 
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    # init carry derived from inputs so shard_map varying-axis types match
+    suppressed = jax.lax.fori_loop(0, n, body, v_sorted & False)
     keep = (~suppressed) & v_sorted
     return order, keep
 

@@ -1,0 +1,211 @@
+"""Phase runner — the orchestration layer replacing the reference's
+Lightning wrapper (no_time_to_train/pl_wrapper/sam2matcher_pl.py) and the
+driver logic of run_lightning.py's after_test.
+
+Modes (reference test_step dispatch, sam2matcher_pl.py:163-200):
+  fill_memory / fill_memory_neg -> feature extraction + bank writes, then a
+      memory checkpoint at --out_path;
+  postprocess_memory / postprocess_memory_neg -> one on-device postprocess;
+  test / test_support -> per-image test steps with synchronized timing, COCO
+      RLE encoding, FPS report (identical format, run_lightning.py:152-161),
+      optional json export, COCOeval.
+"""
+import copy
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+from no_time_to_train_tpu.config.presets import (SAM2_PRESETS, ENCODER_PRESETS,
+                                                 EncoderConfig)
+from no_time_to_train_tpu.data.metainfo import METAINFO
+from no_time_to_train_tpu.data.datasets import (COCOMemoryFillCropDataset,
+                                                COCORefTestDataset,
+                                                COCORefOracleTestDataset)
+from no_time_to_train_tpu.models.matching.pipeline import (NoAMGMatcher,
+                                                           MatchingConfig,
+                                                           finalize_results)
+from no_time_to_train_tpu.utils import checkpoint as ckpt_io
+
+
+def _apply_dotted_hacks(model_cfg, dataset_cfgs):
+    """The reference allows dotted keys to arrive inside dicts and re-maps
+    them (sam2matcher_pl.py:90-127). Generalized: any 'a.b' key in model_cfg /
+    dataset_cfgs is folded into its nested dict."""
+    for cfgs in (model_cfg, dataset_cfgs):
+        for key in [k for k in list(cfgs) if "." in k]:
+            head, tail = key.split(".", 1)
+            val = cfgs.pop(key)
+            if head in ("memory_bank_cfg", "sam2_infer_cfgs", "fill_memory",
+                        "test", "support") and isinstance(
+                            cfgs.get(head), dict):
+                if tail == "cat_names" and isinstance(val, str):
+                    val = val.split(",")
+                if tail == "class_split":
+                    cfgs[head]["cat_names"] = list(METAINFO[val])
+                cfgs[head][tail] = val
+            elif head == "test" and cfgs is model_cfg:
+                mapping = {"imgs_path": "dataset_imgs_path",
+                           "online_vis": "online_vis", "vis_thr": "vis_thr"}
+                model_cfg[mapping.get(tail, tail)] = val
+            else:
+                cfgs[key] = val  # leave unknown keys visible
+    return model_cfg, dataset_cfgs
+
+
+def get_dataset(dataset_cfg, stage):
+    """Stage -> dataset class map (sam2matcher_pl.py:42-69)."""
+    cfg = dict(dataset_cfg)
+    name = cfg.pop("name", None)
+    assert name in ("coco",), f"unknown dataset {name}"
+    cfg.pop("n_points_per_edge", None) if stage.startswith("fill") else None
+    if stage in ("fill_memory", "vis_memory", "fill_memory_neg"):
+        if stage != "fill_memory":
+            cfg["custom_data_mode"] = stage
+        return COCOMemoryFillCropDataset(**cfg)
+    if stage in ("test", "test_support"):
+        if stage == "test_support":
+            cfg["custom_data_mode"] = stage
+        return COCORefOracleTestDataset(**cfg)
+    raise NotImplementedError(stage)
+
+
+class MatcherRunner:
+    def __init__(self, model_cfg, dataset_cfgs, data_load_cfgs=None,
+                 test_mode="none", seed=42):
+        model_cfg = copy.deepcopy(model_cfg)
+        dataset_cfgs = copy.deepcopy(dataset_cfgs)
+        model_cfg, dataset_cfgs = _apply_dotted_hacks(model_cfg, dataset_cfgs)
+        self.test_mode = test_mode
+        self.model_cfg = model_cfg
+        self.dataset_cfgs = dataset_cfgs
+        self.data_load_cfgs = data_load_cfgs or {}
+
+        name = model_cfg.get("name", "matching_baseline_noAMG").lower()
+        assert name == "matching_baseline_noamg", name
+
+        infer = dict(model_cfg.get("sam2_infer_cfgs", {}))
+        mb_cfg = dict(model_cfg.get("memory_bank_cfg", {}))
+        assert mb_cfg.pop("enable", True)
+
+        enc_cfg = model_cfg.get("encoder_cfg", "dinov2_large")
+        if isinstance(enc_cfg, dict):
+            enc_name = enc_cfg.get("name", "dinov2_large")
+            enc = ENCODER_PRESETS[enc_name]
+        else:
+            enc = ENCODER_PRESETS[enc_cfg]
+
+        matching = MatchingConfig(
+            points_per_side=int(infer.get("points_per_side", 32)),
+            testing_point_bs=int(infer.get("testing_point_bs", 256)),
+            iou_thr=float(infer.get("iou_thr", 0.4)),
+            nms_thr=float(infer.get("nms_thr", 0.5)),
+            num_out_instance=int(infer.get("num_out_instance", 100)),
+            kmeans_k=int(infer.get("kmeans_k", 4)),
+            n_pca_components=int(infer.get("n_pca_components", 3)),
+            cls_num_per_mask=int(infer.get("cls_num_per_mask", 1)),
+            with_negative_refs=bool(infer.get("with_negative_refs", False)),
+            compute_dtype=str(infer.get("compute_dtype", "float32")),
+        )
+
+        sam2_cfg_file = model_cfg.get("sam2_cfg_file", "sam2_hiera_l.yaml")
+        sam2_cfg = SAM2_PRESETS[os.path.basename(sam2_cfg_file)]
+        sam2_ckpt = model_cfg.get("sam2_ckpt_path")
+        sam2_params = None
+        if sam2_ckpt and os.path.exists(sam2_ckpt):
+            sam2_params = ckpt_io.load_sam2_torch_checkpoint(sam2_ckpt, sam2_cfg)
+        dino_params = None
+        enc_ckpt = model_cfg.get("encoder_ckpt_path")
+        src = enc_ckpt if enc_ckpt and os.path.exists(str(enc_ckpt)) else None
+        if src is not None:
+            dino_params = ckpt_io.load_dino_checkpoint(src, enc)
+
+        self.matcher = NoAMGMatcher(
+            sam2_cfg, enc, matching,
+            n_classes=int(mb_cfg.get("category_num", 20)),
+            memory_length=int(mb_cfg.get("length", 10)),
+            sam2_params=sam2_params, dino_params=dino_params, seed=seed)
+
+        self.output_queue = []
+        self.time_queue = []
+        self.eval_dataset = None
+
+    # ----------------------------------------------------------------- phases
+    def load_ckpt(self, ckpt_path):
+        if ckpt_path:
+            self.matcher.bank, self.matcher.bank_neg = ckpt_io.load_memory_bank(
+                ckpt_path, self.matcher.bank, self.matcher.bank_neg)
+
+    def save_ckpt(self, out_path):
+        ckpt_io.save_memory_bank(out_path, self.matcher.bank,
+                                 self.matcher.bank_neg)
+
+    def run(self, ckpt_path=None, out_path=None, export_result=None,
+            output_name="", progress=True):
+        mode = self.test_mode
+        self.load_ckpt(ckpt_path)
+        if mode in ("fill_memory", "fill_memory_neg"):
+            ds = get_dataset(self.dataset_cfgs["fill_memory"],
+                             mode if mode != "fill_memory" else "fill_memory")
+            for i in range(len(ds)):
+                item = ds[i]
+                self.matcher.fill_memory(
+                    item["img"][None], item["mask"][None], [item["cat_ind"]],
+                    positive=(mode == "fill_memory"))
+                if progress and (i + 1) % 20 == 0:
+                    print(f"fill {i + 1}/{len(ds)}")
+            if out_path:
+                self.save_ckpt(out_path)
+                print(f"Checkpoint with memory is saved to {out_path}")
+        elif mode in ("postprocess_memory", "postprocess_memory_neg"):
+            self.matcher.postprocess_memory(
+                positive=(mode == "postprocess_memory"))
+            if out_path:
+                self.save_ckpt(out_path)
+                print(f"Checkpoint with post-processed memory is saved to "
+                      f"{out_path}")
+        elif mode in ("test", "test_support"):
+            import jax
+            stage_cfg = self.dataset_cfgs[
+                "test" if mode == "test" else "support"]
+            ds = get_dataset(stage_cfg, mode)
+            self.eval_dataset = ds
+            for i in range(len(ds)):
+                item = ds[i]
+                t0 = time.time()
+                raw = self.matcher.test(item["target_img"])
+                jax.block_until_ready(raw if not isinstance(raw, dict)
+                                      else list(raw.values())[0])
+                self.time_queue.append(time.time() - t0)
+                info = item["target_img_info"]
+                fin = finalize_results(raw, info["ori_height"],
+                                       info["ori_width"])
+                per_img = dict(img_id=info["id"], scores=fin["scores"],
+                               labels=fin["labels"], boxes=fin["bboxes"],
+                               masks=fin["binary_masks"])
+                self.output_queue.append(ds.encode_results([per_img]))
+                if progress and (i + 1) % 20 == 0:
+                    print(f"test {i + 1}/{len(ds)}")
+
+            times_np = np.array(self.time_queue)
+            print("\n[Validation] Inference Time Benchmark:")
+            print(f"  Total images: {len(times_np)}")
+            print(f"  Total time: {np.sum(times_np):.4f} s")
+            print(f"  Average time per image: {np.mean(times_np):.4f} s")
+            print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
+
+            results_unpacked = []
+            for r in self.output_queue:
+                results_unpacked.extend(r)
+            if export_result:
+                with open(export_result, "w") as f:
+                    json.dump(results_unpacked, f)
+            stats = ds.evaluate(results_unpacked, output_name=output_name)
+            return stats
+        elif mode == "vis_memory":
+            pass
+        else:
+            raise NotImplementedError(f"Unrecognized test mode {mode}")
+        return None
