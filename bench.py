@@ -25,6 +25,8 @@ N_ITERS = 10
 
 
 def main():
+    from no_time_to_train_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
 
     from no_time_to_train_tpu.models.matching.pipeline import (

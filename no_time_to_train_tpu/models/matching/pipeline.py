@@ -111,6 +111,8 @@ class NoAMGMatcher:
         self.enc_cfg = (ENCODER_PRESETS[encoder_cfg]
                         if isinstance(encoder_cfg, str) else encoder_cfg)
         self.matching = matching
+        from no_time_to_train_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         dtype = jnp.dtype(matching.compute_dtype)
         self.sam2 = SAM2(self.sam2_cfg, dtype=dtype)
         self.dino = DinoV2(self.enc_cfg, dtype=dtype)
@@ -127,8 +129,13 @@ class NoAMGMatcher:
             dino_params = _random_params_like(
                 lambda k: self.dino.init(k, jnp.zeros((1, e, e, 3))),
                 key, seed + 1)
-        self.sam2_params = sam2_params
-        self.dino_params = dino_params
+        # Params live on device permanently (numpy leaves would be re-uploaded
+        # on EVERY execute — catastrophic over a remote-TPU link). Master
+        # copies are kept in the compute dtype for the encoders' weights.
+        self.sam2_params = jax.device_put(
+            jax.tree.map(jnp.asarray, sam2_params))
+        self.dino_params = jax.device_put(
+            jax.tree.map(jnp.asarray, dino_params))
 
         gs = self.enc_cfg.grid_size
         self.bank = mb.create(n_classes, memory_length, gs * gs,
@@ -299,12 +306,23 @@ class NoAMGMatcher:
     def test(self, tar_img):
         """tar_img: [S, S, 3] float in [0,1]. Returns numpy dict with
         `lr_logits` [K, 256, 256] (host resizes to original size), `scores`,
-        `labels`, `valid`."""
+        `labels`, `valid`.
+
+        Device->host traffic is the second cost after compute on a remote-TPU
+        link, so only the valid prefix of the mask logits is fetched (winners
+        are score-sorted, so valid entries form a prefix)."""
         with_neg = self.matching.with_negative_refs
         out = self._test_jit(self.sam2_params, self.dino_params, self.bank,
                              self.bank_neg if with_neg else self.bank,
                              jnp.asarray(tar_img), with_negative=with_neg)
-        return jax.tree.map(np.asarray, out)
+        valid = np.asarray(out["valid"])
+        n = int(valid.sum())
+        k = valid.shape[0]
+        lr = np.zeros((k,) + out["lr_logits"].shape[1:], np.float16)
+        if n > 0:
+            lr[:n] = np.asarray(out["lr_logits"][:n])
+        return dict(lr_logits=lr, scores=np.asarray(out["scores"]),
+                    labels=np.asarray(out["labels"]), valid=valid)
 
 
 def finalize_results(out, ori_h, ori_w, exact_resize=False):
