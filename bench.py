@@ -51,9 +51,14 @@ def main():
     for i in range(N_WARMUP):
         matcher.test(imgs[i % len(imgs)])
 
+    # two-deep pipeline: fetch image i's outputs while i+1 computes
     t0 = time.time()
-    for i in range(N_ITERS):
-        out = matcher.test(imgs[i % len(imgs)])
+    pending = matcher.test_async(imgs[0])
+    for i in range(1, N_ITERS):
+        nxt = matcher.test_async(imgs[i % len(imgs)])
+        matcher.fetch_test(pending)
+        pending = nxt
+    matcher.fetch_test(pending)
     dt = time.time() - t0
     fps = N_ITERS / dt
 

@@ -311,10 +311,18 @@ class NoAMGMatcher:
         Device->host traffic is the second cost after compute on a remote-TPU
         link, so only the valid prefix of the mask logits is fetched (winners
         are score-sorted, so valid entries form a prefix)."""
+        return self.fetch_test(self.test_async(tar_img))
+
+    def test_async(self, tar_img):
+        """Submit one test step; returns device-resident outputs (does not
+        block). Pair with fetch_test to pipeline host transfer with the next
+        image's compute."""
         with_neg = self.matching.with_negative_refs
-        out = self._test_jit(self.sam2_params, self.dino_params, self.bank,
-                             self.bank_neg if with_neg else self.bank,
-                             jnp.asarray(tar_img), with_negative=with_neg)
+        return self._test_jit(self.sam2_params, self.dino_params, self.bank,
+                              self.bank_neg if with_neg else self.bank,
+                              jnp.asarray(tar_img), with_negative=with_neg)
+
+    def fetch_test(self, out):
         valid = np.asarray(out["valid"])
         n = int(valid.sum())
         k = valid.shape[0]

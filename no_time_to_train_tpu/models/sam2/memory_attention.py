@@ -27,7 +27,7 @@ class MemoryAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None,
-                 num_k_exclude_rope: int = 0):
+                 num_k_exclude_rope: int = 0, memory_valid=None):
         # Self-attention (RoPE)
         tgt2 = LayerNorm(name="norm1", dtype=self.dtype)(tgt)
         q = tgt2 + query_pos if self.pos_enc_at_attn else tgt2
@@ -47,7 +47,8 @@ class MemoryAttentionLayer(nn.Module):
                              rope_k_repeat=True,
                              feat_sizes=self.rope_feat_sizes,
                              name="cross_attn_image", dtype=self.dtype)(
-            qq, kk, memory, num_k_exclude_rope=num_k_exclude_rope)
+            qq, kk, memory, num_k_exclude_rope=num_k_exclude_rope,
+            key_valid=memory_valid)
         tgt = tgt + tgt2
 
         # FFN
@@ -68,7 +69,7 @@ class MemoryAttention(nn.Module):
 
     @nn.compact
     def __call__(self, curr, curr_pos, memory, memory_pos,
-                 num_obj_ptr_tokens: int = 0):
+                 num_obj_ptr_tokens: int = 0, memory_valid=None):
         output = curr
         if self.pos_enc_at_input and curr_pos is not None:
             output = output + 0.1 * curr_pos
@@ -77,5 +78,6 @@ class MemoryAttention(nn.Module):
             output = MemoryAttentionLayer(
                 d_model=self.d_model, name=f"layers_{i}", dtype=self.dtype,
                 **kw)(output, memory, pos=memory_pos, query_pos=curr_pos,
-                      num_k_exclude_rope=num_obj_ptr_tokens)
+                      num_k_exclude_rope=num_obj_ptr_tokens,
+                      memory_valid=memory_valid)
         return LayerNorm(name="norm", dtype=self.dtype)(output)

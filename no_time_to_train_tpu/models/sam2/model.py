@@ -234,11 +234,13 @@ class SAM2(nn.Module):
         return out["vision_features"], out["vision_pos_enc"][0]
 
     def memory_conditioned_features(self, curr_feat, curr_pos, memory,
-                                    memory_pos, num_obj_ptr_tokens=0):
+                                    memory_pos, num_obj_ptr_tokens=0,
+                                    memory_valid=None):
         """Memory attention fusion; curr_feat/curr_pos [B, N, C], memory
-        [B, M, mem_dim]."""
+        [B, M, mem_dim]; memory_valid [B, M] masks padded fixed-shape slots."""
         return self.memory_attention(curr_feat, curr_pos, memory, memory_pos,
-                                     num_obj_ptr_tokens=num_obj_ptr_tokens)
+                                     num_obj_ptr_tokens=num_obj_ptr_tokens,
+                                     memory_valid=memory_valid)
 
     def no_mem_features(self, curr_feat):
         """directly_add_no_mem_embed path (sam2_base.py:685-689)."""

@@ -65,7 +65,10 @@ class RoPEAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, num_k_exclude_rope: int = 0):
+    def __call__(self, q, k, v, num_k_exclude_rope: int = 0, key_valid=None):
+        """key_valid: optional [B, Nk] bool — masks padded memory slots so a
+        fixed-shape memory bank attends identically to the reference's
+        dynamic-length concatenation (sam2_base.py:695-716)."""
         internal = self.embedding_dim // self.downsample_rate
         q = nn.Dense(internal, name="q_proj", dtype=self.dtype)(q)
         k = nn.Dense(internal, name="k_proj", dtype=self.dtype)(k)
@@ -96,7 +99,10 @@ class RoPEAttention(nn.Module):
         kh = jnp.concatenate([k_rot, kh[:, :, num_k_rope:]], axis=2) \
             if num_k_exclude_rope > 0 else k_rot
 
-        out = sdpa(qh, kh, vh)
+        mask = None
+        if key_valid is not None:
+            mask = key_valid[:, None, None, :]
+        out = sdpa(qh, kh, vh, mask=mask)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         return nn.Dense(self.embedding_dim, name="out_proj", dtype=self.dtype)(out)

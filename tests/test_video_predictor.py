@@ -1,0 +1,109 @@
+"""Video predictor parity vs the reference SAM2VideoPredictor on a tiny
+synthetic video (point prompt on frame 0, propagate 4 frames)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from PIL import Image  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ref_loader import (install_reference_shim, install_torchvision_shim,  # noqa: E402
+                        reference_available, _instantiate, REF)
+
+if not reference_available():
+    pytest.skip("reference repo not available", allow_module_level=True)
+install_reference_shim()
+install_torchvision_shim()
+
+import yaml  # noqa: E402
+
+from no_time_to_train_tpu.config.presets import SAM2_PRESETS  # noqa: E402
+from no_time_to_train_tpu.models.sam2.model import SAM2  # noqa: E402
+from no_time_to_train_tpu.models.sam2.video import SAM2VideoPredictor  # noqa: E402
+from no_time_to_train_tpu.utils.torch_convert import (convert_sam2,  # noqa: E402
+                                                      torch_sd_to_numpy)
+
+IMG = 256
+T_FRAMES = 4
+
+
+def _build_ref_video_predictor(image_size, seed=0):
+    with open(REF / "sam2_configs" / "sam2_hiera_t.yaml") as f:
+        cfg = yaml.safe_load(f)["model"]
+    cfg["_target_"] = "sam2.sam2_video_predictor.SAM2VideoPredictor"
+    cfg["image_size"] = image_size
+    cfg.setdefault("sam_mask_decoder_extra_args", {}).update(
+        dynamic_multimask_via_stability=True,
+        dynamic_multimask_stability_delta=0.05,
+        dynamic_multimask_stability_thresh=0.98)
+    cfg["binarize_mask_from_pts_for_mem_enc"] = True
+    cfg["fill_hole_area"] = 8
+    model = _instantiate(cfg)
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.02)
+    return model.eval()
+
+
+def test_video_propagation_parity(tmp_path, rng):
+    # synthetic frames: a moving bright square
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    frames = []
+    paths = []
+    for t in range(T_FRAMES):
+        arr = (rng.random((IMG, IMG, 3)) * 60).astype(np.uint8)
+        x0 = 60 + 12 * t
+        arr[80:150, x0:x0 + 70] = [220, 50, 50]
+        frames.append(arr)
+        p = frames_dir / f"{t:04d}.jpg"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+
+    t_pred = _build_ref_video_predictor(IMG)
+    with torch.no_grad():
+        ref_state = t_pred.init_state(str(frames_dir), paths)
+        t_pred.add_new_points_or_box(
+            ref_state, frame_idx=0, obj_id=1,
+            points=np.array([[95.0, 115.0]], np.float32),
+            labels=np.array([1], np.int32))
+        ref_masks = {}
+        for fidx, obj_ids, logits in t_pred.propagate_in_video(ref_state):
+            ref_masks[fidx] = logits[0, 0].cpu().numpy()
+
+    # ours: the predictor consumes the SAME decoded frames the reference
+    # loaded (PIL resize parity is covered by test_resize)
+    loaded = np.stack([
+        np.asarray(Image.open(p).convert("RGB").resize((IMG, IMG))) / 255.0
+        for p in paths]).astype(np.float32)
+
+    # reference's hole filling is skipped without CUDA _C; disable ours too
+    cfg = dataclasses.replace(SAM2_PRESETS["sam2_hiera_t.yaml"],
+                              image_size=IMG, fill_hole_area=0)
+    model = SAM2(cfg)
+    params = convert_sam2(torch_sd_to_numpy(t_pred), cfg)
+    pred = SAM2VideoPredictor(model, params)
+    state = pred.init_state(loaded)
+    pred.add_new_points_or_box(state, 0, 1,
+                               points=np.array([[95.0, 115.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    from no_time_to_train_tpu.ops.resize import resize_hw
+    got_masks = {}
+    for fidx, obj_ids, logits in pred.propagate_in_video(state):
+        up = resize_hw(jnp.asarray(logits[0]), (IMG, IMG), mode="bilinear")
+        got_masks[fidx] = np.asarray(up)
+
+    assert set(got_masks) == set(ref_masks)
+    for t in sorted(ref_masks):
+        r = ref_masks[t] > 0
+        g = got_masks[t] > 0
+        inter, union = (r & g).sum(), (r | g).sum()
+        iou = 1.0 if union == 0 else inter / union
+        assert iou > 0.97, f"frame {t}: IoU {iou:.3f}"
+        # logits close where confidently fg/bg
+        conf = np.abs(ref_masks[t]) > 0.2
+        np.testing.assert_allclose(got_masks[t][conf], ref_masks[t][conf],
+                                   atol=0.25, rtol=0.5)
