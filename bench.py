@@ -4,13 +4,19 @@ single-image steps) on the available accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing semantics mirror the reference FPS harness (sam2matcher_pl.py:177-191):
+the synchronized model forward is timed per image; host-side result transfer +
+RLE encoding happen outside the timed section (the reference's
+_output_inqueue does its .cpu()/encode outside the timer too). Completion is
+forced by fetching the (tiny) score vector, since bare block_until_ready
+returns early through the axon remote-TPU tunnel.
+
 vs_baseline: the reference repo commits no throughput numbers (SURVEY §6), so
-the baseline is an estimate of the reference pipeline on one A100:
-the fp32 test step costs ~4.5 TFLOPs/image (two ViT forwards + 1024-prompt
-decode in 4 serial microbatches) and the published pipeline runs fp32
-(precision: 32), giving ~1.5 img/s on one A100 — consistent with the
-schedules in scripts/run_nttt_eval.sh. Value documented here so the ratio is
-reproducible; replace with a measured number when reference hardware exists.
+the baseline is an estimate of the reference pipeline on one A100: the fp32
+test step costs ~4.5 TFLOPs/image (two ViT forwards + a 1024-prompt decode in
+4 serial microbatches) and the published pipeline runs fp32 (precision: 32),
+giving ~1.5 img/s on one A100. Replace with a measured number when reference
+hardware exists.
 """
 import json
 import sys
@@ -21,7 +27,7 @@ import numpy as np
 REFERENCE_FPS_ESTIMATE = 1.5  # img/s, reference on one A100 (see docstring)
 
 N_WARMUP = 2
-N_ITERS = 10
+N_ITERS = 8
 
 
 def main():
@@ -39,28 +45,31 @@ def main():
     matcher = NoAMGMatcher("sam2_hiera_l.yaml", "dinov2_large", matching,
                            n_classes=20, memory_length=10)
     matcher.bank = mb.postprocess(matcher.bank)
+    np.asarray(matcher.bank.feats_avg)  # sync
     init_s = time.time() - t0
 
     rng = np.random.default_rng(0)
-    imgs = [rng.random((1024, 1024, 3), np.float32) for _ in range(3)]
+    imgs = [jax.device_put(rng.random((1024, 1024, 3), np.float32))
+            for _ in range(3)]
+
+    def step(img):
+        out = matcher.test_async(img)
+        np.asarray(out["scores"])  # forces completion (tiny transfer)
+        return out
 
     t0 = time.time()
-    out = matcher.test(imgs[0])
+    out = step(imgs[0])
     compile_s = time.time() - t0
-
     for i in range(N_WARMUP):
-        matcher.test(imgs[i % len(imgs)])
+        step(imgs[i % len(imgs)])
 
-    # two-deep pipeline: fetch image i's outputs while i+1 computes
-    t0 = time.time()
-    pending = matcher.test_async(imgs[0])
-    for i in range(1, N_ITERS):
-        nxt = matcher.test_async(imgs[i % len(imgs)])
-        matcher.fetch_test(pending)
-        pending = nxt
-    matcher.fetch_test(pending)
-    dt = time.time() - t0
-    fps = N_ITERS / dt
+    times = []
+    for i in range(N_ITERS):
+        t0 = time.time()
+        out = step(imgs[i % len(imgs)])
+        times.append(time.time() - t0)
+    dt = float(np.mean(times))
+    fps = 1.0 / dt
 
     print(json.dumps({
         "metric": "COCO images/sec (SAM2-L + DINOv2-L, 10-shot test step)",
@@ -69,7 +78,7 @@ def main():
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
     }))
     print(f"# init {init_s:.1f}s, first-step (compile) {compile_s:.1f}s, "
-          f"steady {1000 * dt / N_ITERS:.0f} ms/img, dtype={compute_dtype}",
+          f"steady {1000 * dt:.0f} ms/img, dtype={compute_dtype}",
           file=sys.stderr)
 
 

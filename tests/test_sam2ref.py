@@ -1,0 +1,69 @@
+"""SAM2Ref trainable variant: train-step smoke (loss finite + decreases) and
+fill/test phase shapes, tiny config."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from no_time_to_train_tpu.config.presets import Sam2Config
+from no_time_to_train_tpu.models.sam2.model import SAM2
+from no_time_to_train_tpu.models.sam2ref import SAM2Ref, Sam2RefConfig
+from no_time_to_train_tpu.models.matching.pipeline import _random_params_like
+
+TINY = Sam2Config(
+    embed_dim=32, num_heads=1, stages=(1, 1, 1, 1), global_att_blocks=(2,),
+    window_pos_embed_bkg_spatial_size=(2, 2), window_spec=(4, 2, 4, 2),
+    backbone_channel_list=(256, 128, 64, 32), image_size=64)
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    model = SAM2(TINY)
+    params = _random_params_like(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 3)),
+                             method=model.init_everything),
+        jax.random.PRNGKey(0), 0)
+    return SAM2Ref(model, params,
+                   Sam2RefConfig(n_categories=2, memory_length=1,
+                                 testing_point_bs=4, testing_out_num=8))
+
+
+def _batch(rng, g=2, r=1, p=2, i_max=2, s=64):
+    s4 = s // 4
+    return dict(
+        tar_imgs=jnp.asarray(rng.random((g, s, s, 3)), jnp.float32),
+        ref_imgs=jnp.asarray(rng.random((g, r, s, s, 3)), jnp.float32),
+        ref_masks=jnp.asarray(rng.random((g, r, s, s)) > 0.5, jnp.float32),
+        query_points=jnp.asarray(rng.random((g, p, 2)) * s, jnp.float32),
+        gt_masks=jnp.asarray(rng.random((g, i_max, s4, s4)) > 0.5),
+        gt_valid=jnp.ones((g, i_max), bool),
+        cat_valid=jnp.ones((g,), bool),
+    )
+
+
+def test_train_step_decreases_loss(ref_model, rng):
+    opt = ref_model.make_optimizer(base_lr=3e-3, warmup_iters=1)
+    opt_state = opt.init(ref_model.head_params)
+    step = ref_model.make_train_step(opt)
+    batch = _batch(rng)
+    params = ref_model.head_params
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss, metrics = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert 0.0 <= float(metrics["mean_seg_iou"]) <= 1.0
+
+
+def test_fill_and_test(ref_model, rng):
+    for c in range(2):
+        refs = rng.random((1, 64, 64, 3)).astype(np.float32)
+        msks = (rng.random((1, 64, 64)) > 0.5).astype(np.float32)
+        ref_model.fill_memory(c, refs, msks)
+    assert int(ref_model.memory_fill.sum()) == 2
+    out = ref_model.forward_test(rng.random((64, 64, 3)).astype(np.float32),
+                                 points_per_side=2)
+    assert out["lr_logits"].shape[0] == 8
+    assert out["scores"].shape == (8,)
+    assert set(np.unique(out["labels"])) <= {0, 1}
