@@ -88,8 +88,11 @@ def string_to_counts(s):
 def encode_mask(mask):
     """[H, W] binary mask -> {'size': [h, w], 'counts': str} (compressed)."""
     h, w = mask.shape
-    return {"size": [int(h), int(w)],
-            "counts": rle_to_string(counts_from_mask(mask))}
+    from no_time_to_train_tpu.utils import native
+    s = native.rle_encode(mask) if native.available() else None
+    if s is None:
+        s = rle_to_string(counts_from_mask(mask))
+    return {"size": [int(h), int(w)], "counts": s}
 
 
 def decode_rle(rle):
@@ -98,6 +101,11 @@ def decode_rle(rle):
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (str, bytes)):
+        from no_time_to_train_tpu.utils import native
+        if native.available():
+            out = native.rle_decode(counts, h, w)
+            if out is not None:
+                return out
         counts = string_to_counts(counts)
     return mask_from_counts(counts, h, w)
 
@@ -132,6 +140,12 @@ def iou_rle(dt_rles, gt_rles, iscrowd):
     h, w = dt_rles[0]["size"]
     dts = [decode_rle(r).astype(bool) for r in dt_rles]
     gts = [decode_rle(r).astype(bool) for r in gt_rles]
+    from no_time_to_train_tpu.utils import native
+    if native.available():
+        out = native.mask_iou(np.stack(dts), np.stack(gts),
+                              np.asarray(iscrowd, np.uint8))
+        if out is not None:
+            return out
     d = np.stack([m.reshape(-1) for m in dts]).astype(np.float32)
     g = np.stack([m.reshape(-1) for m in gts]).astype(np.float32)
     inter = d @ g.T

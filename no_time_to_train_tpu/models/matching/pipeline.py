@@ -366,10 +366,15 @@ def finalize_results(out, ori_h, ori_w, exact_resize=False):
         up = np.einsum("ow,nhw->nho", ww, up)
         masks = up > 0
     else:
-        import cv2
-        masks = np.stack([
-            cv2.resize(m, (ori_w, ori_h), interpolation=cv2.INTER_LINEAR) > 0
-            for m in logits])
+        from no_time_to_train_tpu.utils import native
+        masks = native.upsample_binarize(logits, ori_h, ori_w) \
+            if native.available() else None
+        if masks is None:
+            import cv2
+            masks = np.stack([
+                cv2.resize(m, (ori_w, ori_h),
+                           interpolation=cv2.INTER_LINEAR) > 0
+                for m in logits])
 
     # boxes on the ori-res binary masks (amg.py batched_mask_to_box semantics)
     bboxes = np.zeros((n, 4), np.float32)
