@@ -1,0 +1,231 @@
+"""Dataset converters & fixers (reference no_time_to_train/dataset/*).
+
+Behavioral ports of:
+  - coco_to_pkl (json -> memory pkl with per-instance duplication + padding)
+  - pascal_voc_to_coco (VOC XML -> COCO json)
+  - lvis_fix_minival_segm / lvis_add_filename
+  - coco_inst_to_segm (instance predictions -> semantic segmentation mIoU)
+  - sample_sub_dataset
+  - sam_bbox_to_segm_batch: box-annotation -> segmentation pseudo-labels.
+    The reference uses SAM-v1 ViT-H (sam_bbox_to_segm_batch.py:7,26-30); here
+    the box prompts go through OUR SAM2 image predictor — same purpose,
+    stronger masks, no extra model family.
+"""
+import json
+import os
+import pickle
+import random
+import xml.etree.ElementTree as ET
+from collections import OrderedDict, defaultdict
+
+import numpy as np
+
+from no_time_to_train_tpu.data import rle as rle_mod
+from no_time_to_train_tpu.data.metainfo import METAINFO
+
+
+def coco_to_pkl(json_path, output_path, target_examples, seed=42):
+    """reference coco_to_pkl.py: group annotations per category/image,
+    duplicate multi-annotation images, pad short categories by resampling."""
+    rng = random.Random(seed)
+    with open(json_path) as f:
+        data = json.load(f)
+    converted = OrderedDict()
+    for ann in data["annotations"]:
+        entries = converted.setdefault(ann["category_id"], [])
+        hit = next((e for e in entries if e["img_id"] == ann["image_id"]),
+                   None)
+        if hit:
+            hit["ann_ids"].append(ann["id"])
+        else:
+            entries.append({"img_id": ann["image_id"],
+                            "ann_ids": [ann["id"]]})
+    for cat_id, entries in converted.items():
+        out = []
+        for e in entries:
+            out.extend([dict(e)] * max(1, len(e["ann_ids"])))
+        converted[cat_id] = out
+    for cat_id, entries in converted.items():
+        if len(entries) < target_examples:
+            extra = [dict(rng.choice(entries))
+                     for _ in range(target_examples - len(entries))]
+            entries.extend(extra)
+    with open(output_path, "wb") as f:
+        pickle.dump(converted, f)
+    return converted
+
+
+VOC_CLASSES = ["aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car",
+               "cat", "chair", "cow", "diningtable", "dog", "horse",
+               "motorbike", "person", "pottedplant", "sheep", "sofa", "train",
+               "tvmonitor"]
+
+
+def pascal_voc_to_coco(voc_root, split_file, out_json, use_difficult=False):
+    """reference pascal_voc_to_coco.py: VOC XML annotations -> COCO
+    detection json (boxes only; segmentation added downstream by
+    sam_bbox_to_segm)."""
+    with open(split_file) as f:
+        image_ids = [line.strip().split()[0] for line in f if line.strip()]
+    images, annotations = [], []
+    ann_id = 1
+    for i, img_id in enumerate(image_ids):
+        xml_path = os.path.join(voc_root, "Annotations", f"{img_id}.xml")
+        root = ET.parse(xml_path).getroot()
+        size = root.find("size")
+        w = int(size.find("width").text)
+        h = int(size.find("height").text)
+        file_name = root.find("filename").text
+        images.append({"id": i + 1, "file_name": file_name, "height": h,
+                       "width": w})
+        for obj in root.findall("object"):
+            if not use_difficult and obj.find("difficult") is not None \
+                    and int(obj.find("difficult").text):
+                continue
+            name = obj.find("name").text
+            if name not in VOC_CLASSES:
+                continue
+            bb = obj.find("bndbox")
+            x1 = float(bb.find("xmin").text) - 1
+            y1 = float(bb.find("ymin").text) - 1
+            x2 = float(bb.find("xmax").text) - 1
+            y2 = float(bb.find("ymax").text) - 1
+            annotations.append({
+                "id": ann_id, "image_id": i + 1,
+                "category_id": VOC_CLASSES.index(name) + 1,
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "area": (x2 - x1) * (y2 - y1), "iscrowd": 0})
+            ann_id += 1
+    out = {"images": images, "annotations": annotations,
+           "categories": [{"id": i + 1, "name": n}
+                          for i, n in enumerate(VOC_CLASSES)]}
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def lvis_fix_minival_segm(full_json, minival_json, out_json):
+    """reference lvis_fix_minival_segm.py: copy segmentations from the full
+    LVIS annotations into minival records (matched by annotation id)."""
+    with open(full_json) as f:
+        full = json.load(f)
+    with open(minival_json) as f:
+        mini = json.load(f)
+    segm_by_id = {a["id"]: a.get("segmentation") for a in full["annotations"]}
+    for a in mini["annotations"]:
+        if a["id"] in segm_by_id and segm_by_id[a["id"]] is not None:
+            a["segmentation"] = segm_by_id[a["id"]]
+    with open(out_json, "w") as f:
+        json.dump(mini, f)
+    return mini
+
+
+def lvis_add_filename(lvis_json, out_json):
+    """reference lvis_add_filename.py: derive file_name from coco_url."""
+    with open(lvis_json) as f:
+        data = json.load(f)
+    for img in data["images"]:
+        if "file_name" not in img and "coco_url" in img:
+            img["file_name"] = img["coco_url"].split("/")[-1]
+    with open(out_json, "w") as f:
+        json.dump(data, f)
+    return data
+
+
+def sample_sub_dataset(json_path, out_json, n_images, seed=0):
+    """reference sample_sub_dataset.py: random image subset with its
+    annotations."""
+    rng = random.Random(seed)
+    with open(json_path) as f:
+        data = json.load(f)
+    imgs = list(data["images"])
+    rng.shuffle(imgs)
+    keep = imgs[:n_images]
+    keep_ids = {im["id"] for im in keep}
+    out = dict(data)
+    out["images"] = keep
+    out["annotations"] = [a for a in data["annotations"]
+                          if a["image_id"] in keep_ids]
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
+                           confidence_threshold=0.5, class_split=None):
+    """reference coco_inst_to_segm.py: convert instance predictions and GT to
+    per-image semantic masks, report per-class IoU + mIoU."""
+    with open(gt_json_path) as f:
+        gt = json.load(f)
+    with open(pred_json_path) as f:
+        preds = json.load(f)
+    cat_names = METAINFO[class_split] if class_split else \
+        [c["name"] for c in gt["categories"]]
+    cat_ids = [c["id"] for c in gt["categories"] if c["name"] in cat_names]
+    cat_set = set(cat_ids)
+    sizes = {im["id"]: (im["height"], im["width"]) for im in gt["images"]}
+
+    gt_by_img = defaultdict(list)
+    for a in gt["annotations"]:
+        if a["category_id"] in cat_set:
+            gt_by_img[a["image_id"]].append(a)
+    pred_by_img = defaultdict(list)
+    for p in preds:
+        if p["category_id"] in cat_set and \
+                p["score"] >= confidence_threshold:
+            pred_by_img[p["image_id"]].append(p)
+
+    inter = {c: 0 for c in cat_ids}
+    union = {c: 0 for c in cat_ids}
+    from no_time_to_train_tpu.data.coco_api import rasterize_polygons
+    for img_id, (h, w) in sizes.items():
+        for c in cat_ids:
+            gm = np.zeros((h, w), bool)
+            for a in gt_by_img.get(img_id, []):
+                if a["category_id"] != c:
+                    continue
+                seg = a["segmentation"]
+                if isinstance(seg, list):
+                    gm |= rasterize_polygons(seg, h, w).astype(bool)
+                else:
+                    gm |= rle_mod.decode_rle(seg).astype(bool)
+            pm = np.zeros((h, w), bool)
+            for p in pred_by_img.get(img_id, []):
+                if p["category_id"] != c:
+                    continue
+                pm |= rle_mod.decode_rle(p["segmentation"]).astype(bool)
+            inter[c] += int((gm & pm).sum())
+            union[c] += int((gm | pm).sum())
+    per_class = {c: (inter[c] / union[c] if union[c] else float("nan"))
+                 for c in cat_ids}
+    vals = [v for v in per_class.values() if not np.isnan(v)]
+    return {"per_class_iou": per_class,
+            "miou": float(np.mean(vals)) if vals else float("nan")}
+
+
+def sam_bbox_to_segm_batch(json_path, img_root, out_json, predictor,
+                           batch_size=8, progress=True):
+    """Box-only COCO json -> segmentation pseudo-labels using a SAM2 image
+    predictor (replaces the reference's SAM-v1 path,
+    sam_bbox_to_segm_batch.py)."""
+    from no_time_to_train_tpu.data.datasets import load_image
+    with open(json_path) as f:
+        data = json.load(f)
+    anns_by_img = defaultdict(list)
+    for a in data["annotations"]:
+        anns_by_img[a["image_id"]].append(a)
+    imgs = {im["id"]: im for im in data["images"]}
+    for n, (img_id, anns) in enumerate(anns_by_img.items()):
+        info = imgs[img_id]
+        img, _, _ = load_image(os.path.join(img_root, info["file_name"]))
+        predictor.set_image(img)
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            masks, ious, _ = predictor.predict(box=[x, y, x + w, y + h],
+                                               multimask_output=False)
+            a["segmentation"] = rle_mod.encode_mask(masks[0, 0])
+        if progress and (n + 1) % 20 == 0:
+            print(f"sam_bbox_to_segm {n + 1}/{len(anns_by_img)}")
+    with open(out_json, "w") as f:
+        json.dump(data, f)
+    return data

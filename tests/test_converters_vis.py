@@ -1,0 +1,98 @@
+"""Converters + visualization smoke tests."""
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from no_time_to_train_tpu.data import converters, rle as rle_mod
+
+
+def _toy_coco(tmp_path, n_imgs=3, per_img=2):
+    images, anns = [], []
+    aid = 1
+    for i in range(n_imgs):
+        images.append({"id": i + 1, "height": 32, "width": 32,
+                       "file_name": f"{i}.png"})
+        for j in range(per_img):
+            seg = rle_mod.encode_mask(
+                np.pad(np.ones((8, 8), np.uint8),
+                       ((4 + j, 20 - j), (4, 20))))
+            anns.append({"id": aid, "image_id": i + 1, "category_id": 1,
+                         "bbox": [4, 4 + j, 8, 8], "area": 64.0,
+                         "iscrowd": 0, "segmentation": seg})
+            aid += 1
+    data = {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "person"}]}
+    p = tmp_path / "gt.json"
+    p.write_text(json.dumps(data))
+    return str(p), data
+
+
+def test_coco_to_pkl(tmp_path):
+    p, data = _toy_coco(tmp_path)
+    out = converters.coco_to_pkl(p, str(tmp_path / "m.pkl"),
+                                 target_examples=10)
+    assert 1 in out
+    assert len(out[1]) >= 10
+
+
+def test_sample_sub_dataset(tmp_path):
+    p, data = _toy_coco(tmp_path, n_imgs=5)
+    out = converters.sample_sub_dataset(p, str(tmp_path / "sub.json"), 2)
+    assert len(out["images"]) == 2
+    ids = {im["id"] for im in out["images"]}
+    assert all(a["image_id"] in ids for a in out["annotations"])
+
+
+def test_lvis_add_filename(tmp_path):
+    data = {"images": [{"id": 1, "coco_url":
+                        "http://images.cocodataset.org/val2017/000123.jpg"}],
+            "annotations": [], "categories": []}
+    p = tmp_path / "l.json"
+    p.write_text(json.dumps(data))
+    out = converters.lvis_add_filename(str(p), str(tmp_path / "o.json"))
+    assert out["images"][0]["file_name"] == "000123.jpg"
+
+
+def test_inst_to_segm_eval(tmp_path):
+    p, data = _toy_coco(tmp_path, n_imgs=1, per_img=1)
+    preds = [{"image_id": 1, "category_id": 1, "score": 0.9,
+              "segmentation": data["annotations"][0]["segmentation"]}]
+    pp = tmp_path / "pred.json"
+    pp.write_text(json.dumps(preds))
+    out = converters.coco_inst_to_segm_eval(p, str(pp))
+    assert abs(out["miou"] - 1.0) < 1e-9
+
+
+def test_pascal_voc_to_coco(tmp_path):
+    (tmp_path / "Annotations").mkdir()
+    xml = """<annotation><filename>im0.jpg</filename>
+      <size><width>100</width><height>80</height><depth>3</depth></size>
+      <object><name>dog</name><difficult>0</difficult>
+        <bndbox><xmin>11</xmin><ymin>21</ymin><xmax>51</xmax><ymax>61</ymax>
+        </bndbox></object></annotation>"""
+    (tmp_path / "Annotations" / "im0.xml").write_text(xml)
+    split = tmp_path / "trainval.txt"
+    split.write_text("im0\n")
+    out = converters.pascal_voc_to_coco(str(tmp_path), str(split),
+                                        str(tmp_path / "voc.json"))
+    assert len(out["annotations"]) == 1
+    a = out["annotations"][0]
+    assert a["bbox"] == [10.0, 20.0, 40.0, 40.0]
+    assert out["categories"][a["category_id"] - 1]["name"] == "dog"
+
+
+def test_vis_coco(tmp_path, rng):
+    from no_time_to_train_tpu.data.visualization import vis_coco
+    img_path = tmp_path / "img.png"
+    Image.fromarray((rng.random((48, 64, 3)) * 255).astype(np.uint8)
+                    ).save(img_path)
+    masks = rng.random((2, 48, 64)) > 0.7
+    out = vis_coco(
+        gt_bboxes=[[5, 5, 30, 30]], gt_labels=[0], gt_masks=masks[:1],
+        scores=[0.9], labels=[0], bboxes=[[10, 10, 40, 40]],
+        masks_pred=masks[1:], score_thr=0.5,
+        img_path=str(img_path), out_path=str(tmp_path / "vis.png"),
+        show_scores=True, class_names=["person"])
+    assert Image.open(out).size == (64 * 2 + 5, 48)
