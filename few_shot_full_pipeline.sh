@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# COCO few-shot pipeline: sample references -> fill memory -> postprocess ->
+# test + eval. Interface-compatible with the reference few_shot_full_pipeline.sh.
+set -e
+
+CONFIG=${CONFIG:-./configs/coco_fewshot_10shot_Sam2L.yaml}
+CLASS_SPLIT=${CLASS_SPLIT:-few_shot_classes}
+RESULTS_DIR=${RESULTS_DIR:-work_dirs/few_shot_results}
+SHOTS=${SHOTS:-30}
+SEED=${SEED:-33}
+DEVICES=${DEVICES:-1}
+
+mkdir -p $RESULTS_DIR
+FILENAME=few_shot_${SHOTS}shot_seed${SEED}.pkl
+
+python -m no_time_to_train_tpu.data.few_shot_sampling \
+        --n-shot $SHOTS \
+        --out-path ${RESULTS_DIR}/${FILENAME} \
+        --seed $SEED \
+        --dataset $CLASS_SPLIT
+
+python run_lightning.py test --config $CONFIG \
+        --model.test_mode fill_memory \
+        --out_path ${RESULTS_DIR}/memory.ckpt \
+        --model.init_args.model_cfg.memory_bank_cfg.length $SHOTS \
+        --model.init_args.dataset_cfgs.fill_memory.memory_pkl ${RESULTS_DIR}/${FILENAME} \
+        --model.init_args.dataset_cfgs.fill_memory.memory_length $SHOTS \
+        --model.init_args.dataset_cfgs.fill_memory.class_split $CLASS_SPLIT
+
+python run_lightning.py test --config $CONFIG \
+        --model.test_mode postprocess_memory \
+        --model.init_args.model_cfg.memory_bank_cfg.length $SHOTS \
+        --ckpt_path ${RESULTS_DIR}/memory.ckpt \
+        --out_path ${RESULTS_DIR}/memory_postprocessed.ckpt
+
+python run_lightning.py test --config $CONFIG \
+        --model.test_mode test \
+        --ckpt_path ${RESULTS_DIR}/memory_postprocessed.ckpt \
+        --model.init_args.model_cfg.memory_bank_cfg.length $SHOTS \
+        --model.init_args.dataset_cfgs.test.class_split $CLASS_SPLIT \
+        --n_shot $SHOTS --seed $SEED

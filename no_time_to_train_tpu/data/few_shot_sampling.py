@@ -95,21 +95,44 @@ def sample_memory_dataset(json_file, out_path, memory_length, remove_bad,
     return sampled
 
 
+DEFAULT_JSONS = {
+    "coco": "./data/coco/annotations/instances_train2017.json",
+    "lvis": "./data/lvis/lvis_v1_train.json",
+    "pascal_voc": "./data/pascal_voc/annotations/voc0712_trainval_with_segm.json",
+    "olive_diseases": "./data/olive_diseases/train/_annotations.coco.json",
+}
+
+
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--json", required=True)
+    """Reference-compatible CLI (few_shot_sampling.py:269-340): per-dataset
+    default json paths, LVIS gets allow_duplicates/allow_invalid, COCO/VOC/
+    olive remove_bad."""
+    p = argparse.ArgumentParser(description="Sample few-shot memory dataset")
+    p.add_argument("--n-shot", type=int, required=True)
     p.add_argument("--out-path", required=True)
-    p.add_argument("--memory-length", type=int, required=True)
+    p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dataset", default="coco")
-    p.add_argument("--remove-bad", action="store_true")
-    p.add_argument("--allow-duplicates", action="store_true")
-    p.add_argument("--allow-invalid", action="store_true")
+    p.add_argument("--dataset-json", default=None)
     p.add_argument("--prefer-multi-instance", action="store_true")
-    p.add_argument("--seed", type=int, default=None)
     a = p.parse_args()
-    sample_memory_dataset(a.json, a.out_path, a.memory_length, a.remove_bad,
-                          a.dataset, a.allow_duplicates, a.allow_invalid,
-                          a.prefer_multi_instance, a.seed)
+
+    ds = a.dataset
+    if ds.startswith("lvis"):
+        json_file = a.dataset_json or DEFAULT_JSONS["lvis"]
+        kwargs = dict(remove_bad=False, allow_duplicates=True,
+                      allow_invalid=True)
+    elif ds.startswith("pascal_voc"):
+        json_file = a.dataset_json or DEFAULT_JSONS["pascal_voc"]
+        kwargs = dict(remove_bad=True)
+    elif ds == "olive_diseases":
+        json_file = a.dataset_json or DEFAULT_JSONS["olive_diseases"]
+        kwargs = dict(remove_bad=True)
+    else:
+        json_file = a.dataset_json or DEFAULT_JSONS["coco"]
+        kwargs = dict(remove_bad=True)
+    sample_memory_dataset(json_file, a.out_path, a.n_shot, dataset=ds,
+                          prefer_multi_instance=a.prefer_multi_instance,
+                          seed=a.seed, **kwargs)
 
 
 if __name__ == "__main__":
