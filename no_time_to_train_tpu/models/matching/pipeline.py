@@ -115,7 +115,13 @@ class NoAMGMatcher:
         enable_compilation_cache()
         dtype = jnp.dtype(matching.compute_dtype)
         self.sam2 = SAM2(self.sam2_cfg, dtype=dtype)
-        self.dino = DinoV2(self.enc_cfg, dtype=dtype)
+        if self.enc_cfg.family == "dinov3":
+            from no_time_to_train_tpu.models.dino_v3 import DinoV3
+            gated = "plus" in self.enc_cfg.hf_model_name \
+                or "huge" in self.enc_cfg.name
+            self.dino = DinoV3(self.enc_cfg, use_gated_mlp=gated, dtype=dtype)
+        else:
+            self.dino = DinoV2(self.enc_cfg, dtype=dtype)
 
         key = jax.random.PRNGKey(seed)
         if sam2_params is None:

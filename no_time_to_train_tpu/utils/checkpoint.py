@@ -32,8 +32,8 @@ def load_sam2_torch_checkpoint(path, cfg):
 
 
 def load_dino_checkpoint(path_or_name, enc_cfg):
-    """HF model dir / hub name (cached) -> flax params for models/dino.DinoV2."""
-    from no_time_to_train_tpu.models.dino import convert_hf_dinov2
+    """HF model dir / hub name (cached) -> flax params for the matching
+    encoder family (DINOv2 or DINOv3)."""
     if os.path.isdir(path_or_name):
         sd = _load_safetensors_dir(path_or_name)
     else:
@@ -43,6 +43,11 @@ def load_dino_checkpoint(path_or_name, enc_cfg):
             model = AutoModel.from_pretrained(path_or_name)
         sd = {k: v.detach().cpu().float().numpy()
               for k, v in model.state_dict().items()}
+    if getattr(enc_cfg, "family", "dinov2") == "dinov3":
+        from no_time_to_train_tpu.models.dino_v3 import convert_hf_dinov3
+        gated = "plus" in enc_cfg.hf_model_name or "huge" in enc_cfg.name
+        return convert_hf_dinov3(sd, enc_cfg, use_gated_mlp=gated)
+    from no_time_to_train_tpu.models.dino import convert_hf_dinov2
     return convert_hf_dinov2(sd, enc_cfg)
 
 
