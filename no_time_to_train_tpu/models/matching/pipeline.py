@@ -306,6 +306,7 @@ class NoAMGMatcher:
             lr_logits=lr_sel[ranked].astype(jnp.float16),
             scores=jnp.where(f_valid, scores_out[ranked], 0.0),
             labels=labels_out[ranked],
+            pred_ious=pred_ious[mask_idx][ranked],
             valid=f_valid,
         )
 
@@ -336,7 +337,8 @@ class NoAMGMatcher:
         if n > 0:
             lr[:n] = np.asarray(out["lr_logits"][:n])
         return dict(lr_logits=lr, scores=np.asarray(out["scores"]),
-                    labels=np.asarray(out["labels"]), valid=valid)
+                    labels=np.asarray(out["labels"]),
+                    pred_ious=np.asarray(out["pred_ious"]), valid=valid)
 
 
 def finalize_results(out, ori_h, ori_w, exact_resize=False):

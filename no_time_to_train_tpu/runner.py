@@ -129,6 +129,7 @@ class MatcherRunner:
             sam2_params=sam2_params, dino_params=dino_params, seed=seed)
 
         self.output_queue = []
+        self.scalars_queue = []
         self.time_queue = []
         self.eval_dataset = None
 
@@ -186,6 +187,9 @@ class MatcherRunner:
                                labels=fin["labels"], boxes=fin["bboxes"],
                                masks=fin["binary_masks"])
                 self.output_queue.append(ds.encode_results([per_img]))
+                self.scalars_queue.append(
+                    dict(scores=raw["scores"], labels=raw["labels"],
+                         pred_ious=raw.get("pred_ious"), valid=raw["valid"]))
                 if progress and (i + 1) % 20 == 0:
                     print(f"test {i + 1}/{len(ds)}")
 
@@ -196,6 +200,9 @@ class MatcherRunner:
             print(f"  Average time per image: {np.mean(times_np):.4f} s")
             print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
 
+            if self.scalars_queue:
+                with open("scalars_all.pkl", "wb") as f:
+                    pickle.dump(self.scalars_queue, f)
             results_unpacked = []
             for r in self.output_queue:
                 results_unpacked.extend(r)
