@@ -224,3 +224,40 @@ def test_full_pipeline_parity(setup, rng):
         inter = (a & b).sum()
         union = (a | b).sum()
         assert union == 0 or inter / union > 0.98, f"mask {i} IoU low"
+
+
+def test_semantic_ios_aspect_invariance(rng):
+    """The device pipeline computes IoS at a square analysis resolution while
+    the reference uses the original (possibly non-square) size; intersection/
+    self-area ratios are invariant to anisotropic scaling up to boundary
+    quantization — verify the approximation is tight."""
+    import torch.nn.functional as TF
+    from no_time_to_train_tpu.models.matching import scoring
+    from no_time_to_train_tpu.ops.resize import resize_hw
+
+    n = 24
+    lr = torch.from_numpy(
+        rng.standard_normal((n, 64, 64)).astype(np.float32) * 2)
+    labels = rng.integers(0, 3, n)
+    obj_sim = np.clip(rng.random((n, n)).astype(np.float32), 0, 1)
+    obj_sim = (obj_sim + obj_sim.T) / 2
+
+    # reference: upsample to non-square ori, compute IoS there
+    ref_bin = TF.interpolate(lr.unsqueeze(1), size=(384, 512),
+                             mode="bilinear", align_corners=False,
+                             antialias=True).squeeze(1) > 0
+    ref_ios = compute_semantic_ios(ref_bin, torch.from_numpy(labels),
+                                   torch.from_numpy(obj_sim), 3,
+                                   use_semantic=True, rank_score=True).numpy()
+
+    # ours: square analysis resolution
+    got_bin = np.asarray(resize_hw(jnp.asarray(lr.numpy()), (512, 512),
+                                   mode="bilinear")) > 0
+    got_ios = np.asarray(scoring.semantic_ios(
+        jnp.asarray(got_bin.reshape(n, -1)), jnp.asarray(labels),
+        jnp.asarray(obj_sim)))
+    np.testing.assert_allclose(got_ios, ref_ios, atol=0.02)
+    # score decay factor differs by < 2% absolute
+    ref_decay = np.sqrt(np.clip(1 - ref_ios, 0, None))
+    got_decay = np.sqrt(np.clip(1 - got_ios, 0, None))
+    assert np.abs(ref_decay - got_decay).max() < 0.02
