@@ -168,18 +168,23 @@ class MatcherRunner:
                 print(f"Checkpoint with post-processed memory is saved to "
                       f"{out_path}")
         elif mode in ("test", "test_support"):
-            import jax
+            from concurrent.futures import ThreadPoolExecutor
             stage_cfg = self.dataset_cfgs[
                 "test" if mode == "test" else "support"]
             ds = get_dataset(stage_cfg, mode)
             self.eval_dataset = ds
-            for i in range(len(ds)):
-                item = ds[i]
-                t0 = time.time()
-                raw = self.matcher.test(item["target_img"])
-                jax.block_until_ready(raw if not isinstance(raw, dict)
-                                      else list(raw.values())[0])
-                self.time_queue.append(time.time() - t0)
+
+            # host-side prefetch (replaces the reference's DataLoader
+            # workers) + a two-deep device pipeline: while image i's outputs
+            # stream back and finalize on host, image i+1 computes on device.
+            workers = max(1, int(self.data_load_cfgs.get("workers", 0)) or 1)
+            pool = ThreadPoolExecutor(max_workers=workers)
+            futures = [pool.submit(ds.__getitem__, i)
+                       for i in range(min(2, len(ds)))]
+
+            def finalize(item, device_out, dt):
+                self.time_queue.append(dt)
+                raw = self.matcher.fetch_test(device_out)
                 info = item["target_img_info"]
                 fin = finalize_results(raw, info["ori_height"],
                                        info["ori_width"])
@@ -188,10 +193,26 @@ class MatcherRunner:
                                masks=fin["binary_masks"])
                 self.output_queue.append(ds.encode_results([per_img]))
                 self.scalars_queue.append(
-                    dict(scores=raw["scores"], labels=raw["labels"],
+                    dict(scores=fin["scores"], labels=fin["labels"],
                          pred_ious=raw.get("pred_ious"), valid=raw["valid"]))
+
+            pending = None  # (item, device_out, dt)
+            for i in range(len(ds)):
+                item = futures.pop(0).result()
+                if i + 2 < len(ds):
+                    futures.append(pool.submit(ds.__getitem__, i + 2))
+                t0 = time.time()
+                out = self.matcher.test_async(item["target_img"])
+                if pending is not None:
+                    finalize(*pending)  # D2H + host work overlap this compute
+                np.asarray(out["scores"])  # completion fence (timed like the
+                dt = time.time() - t0      # reference's synchronized forward)
+                pending = (item, out, dt)
                 if progress and (i + 1) % 20 == 0:
                     print(f"test {i + 1}/{len(ds)}")
+            if pending is not None:
+                finalize(*pending)
+            pool.shutdown()
 
             times_np = np.array(self.time_queue)
             print("\n[Validation] Inference Time Benchmark:")
