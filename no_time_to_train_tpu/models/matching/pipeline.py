@@ -155,6 +155,10 @@ class NoAMGMatcher:
         self._fill_jit = jax.jit(self._fill_features)
         self._test_jit = jax.jit(self._test_impl,
                                  static_argnames=("with_negative",))
+        self._test_batch_jit = jax.jit(
+            jax.vmap(self._test_impl,
+                     in_axes=(None, None, None, None, 0)),
+            static_argnames=("with_negative",))
 
     # ------------------------------------------------------------------ fill
     def _fill_features(self, dino_params, ref_imgs, ref_masks):
@@ -328,6 +332,16 @@ class NoAMGMatcher:
         return self._test_jit(self.sam2_params, self.dino_params, self.bank,
                               self.bank_neg if with_neg else self.bank,
                               jnp.asarray(tar_img), with_negative=with_neg)
+
+    def test_batch_async(self, tar_imgs):
+        """Batched variant: [B, S, S, 3] images in one jit step (vmapped) —
+        amortizes per-step overhead on a single chip and is the per-device
+        unit under data parallelism (parallel/mesh.py)."""
+        with_neg = self.matching.with_negative_refs
+        return self._test_batch_jit(
+            self.sam2_params, self.dino_params, self.bank,
+            self.bank_neg if with_neg else self.bank,
+            jnp.asarray(tar_imgs), with_negative=with_neg)
 
     def fetch_test(self, out):
         valid = np.asarray(out["valid"])
