@@ -233,7 +233,20 @@ class MatcherRunner:
             stats = ds.evaluate(results_unpacked, output_name=output_name)
             return stats
         elif mode == "vis_memory":
-            pass
+            from no_time_to_train_tpu.data.visualization import vis_memory
+            ds = get_dataset(self.dataset_cfgs["fill_memory"], "vis_memory")
+            gs = self.matcher.enc_cfg.grid_size
+            out_dir = "./results_analysis/memory_vis"
+            for i in range(len(ds)):
+                item = ds[i]
+                feats, _ = self.matcher._fill_jit(
+                    self.matcher.dino_params, item["img"][None],
+                    item["mask"][None])
+                grid = np.asarray(feats[0]).reshape(gs, gs, -1)
+                vis_memory(item["img"], grid, item["cat_ind"],
+                           self.matcher.bank, out_dir,
+                           img_id=item["img_info"]["id"])
+            print(f"memory visualizations -> {out_dir}")
         else:
             raise NotImplementedError(f"Unrecognized test mode {mode}")
         return None

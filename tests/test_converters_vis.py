@@ -96,3 +96,25 @@ def test_vis_coco(tmp_path, rng):
         img_path=str(img_path), out_path=str(tmp_path / "vis.png"),
         show_scores=True, class_names=["person"])
     assert Image.open(out).size == (64 * 2 + 5, 48)
+
+
+def test_dataset_tools(tmp_path, rng):
+    from no_time_to_train_tpu.data import dataset_tools as dt
+    p, data = _toy_coco(tmp_path, n_imgs=4, per_img=2)
+    assert dt.get_classes(p) == ["person"]
+
+    # custom dataset
+    sel = {"reference": {"person": [1, 2]}, "targets": [3, 4]}
+    refs, tgts, memory = dt.make_custom_dataset(p, str(tmp_path / "custom"),
+                                                sel)
+    assert len(memory[1]) == 2
+    assert len(tgts["images"]) == 2
+
+    # merge
+    merged = dt.merge_coco_datasets([p, p], str(tmp_path / "merged.json"))
+    assert len(merged["images"]) == 8
+    assert len({im["id"] for im in merged["images"]}) == 8
+
+    # semantic-ref sampling: 2 anns per image -> one entry with both
+    out = dt.sample_memory_semantic_ref(p, str(tmp_path / "sem.pkl"), 2)
+    assert all(len(e["ann_ids"]) == 2 for e in out[1])
