@@ -109,6 +109,63 @@ def _kmeans_masked(feats, weights, k, n_iter, key):
     return centers
 
 
+def kmeans_decouple(feats, feats_fore, k, n_iter=100, key=None):
+    """Decoupled k-means (reference matching_baseline_utils.py:88-126):
+    cluster assignment driven by foreground features, centers re-estimated
+    from the full features."""
+    import jax
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    m = feats.shape[0]
+    idx = jax.random.permutation(key, m)[:k]
+    centers = feats_fore[idx]
+
+    def norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-12)
+
+    def body(centers, _):
+        assign = jnp.argmax(norm(feats) @ norm(centers).T, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=feats.dtype)
+        sums = onehot.T @ feats_fore
+        cnts = onehot.sum(0)[:, None]
+        new = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1), centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(body, centers, None, length=n_iter)
+    assign = jnp.argmax(norm(feats_fore) @ norm(centers).T, axis=-1)
+    onehot = jax.nn.one_hot(assign, k, dtype=feats.dtype)
+    sums = onehot.T @ feats
+    cnts = onehot.sum(0)[:, None]
+    centers = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1), centers)
+    return norm(centers)
+
+
+def kmeans_pp_init(feats, k, key):
+    """k-means++ seeding (reference matcher_utils.py:30): iteratively pick
+    points far (L2) from the chosen set."""
+    import jax
+    m = feats.shape[0]
+    k0, key = jax.random.split(key)
+    first = jax.random.randint(k0, (), 0, m)
+    centers = jnp.zeros((k, feats.shape[1]), feats.dtype).at[0].set(
+        feats[first])
+
+    def body(i, carry):
+        centers, key = carry
+        d2_all = jnp.sum((feats[:, None, :] - centers[None]) ** 2, -1)
+        d2 = jnp.min(
+            d2_all + jnp.where(jnp.arange(k)[None, :] >= i, jnp.inf, 0.0),
+            axis=1)
+        key, sub = jax.random.split(key)
+        probs = d2 / jnp.maximum(d2.sum(), 1e-12)
+        nxt = jax.random.choice(sub, m, p=probs)
+        return centers.at[i].set(feats[nxt]), key
+
+    centers, _ = jax.lax.fori_loop(1, k, body, (centers, key))
+    return centers
+
+
 def _pca_from_cov(cov, mean, n_comp):
     """Top principal components via eigh, sklearn svd_flip sign convention."""
     evals, evecs = jnp.linalg.eigh(cov)  # ascending

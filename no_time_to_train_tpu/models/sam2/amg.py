@@ -196,6 +196,9 @@ class SAM2AutomaticMaskGenerator:
                 }
                 all_recs.append(rec)
 
+        if self.min_mask_region_area > 0:
+            all_recs = self.postprocess_small_regions(all_recs)
+
         # cross-crop NMS (reference :243-249)
         if len(crop_boxes) > 1 and all_recs:
             boxes = np.array([[r["bbox"][0], r["bbox"][1],
@@ -212,3 +215,36 @@ class SAM2AutomaticMaskGenerator:
                     if k}
             all_recs = [r for i, r in enumerate(all_recs) if i in kept]
         return all_recs
+
+    def postprocess_small_regions(self, recs):
+        """Remove sprinkles and fill holes below min_mask_region_area using
+        the XLA connected-components op (reference
+        amg.py:remove_small_regions + postprocess_small_regions :387-436,
+        which uses cv2 CCL)."""
+        from no_time_to_train_tpu.ops.connected_components import (
+            connected_components)
+        out = []
+        for r in recs:
+            seg = r["segmentation"]
+            binary = seg if isinstance(seg, np.ndarray) else None
+            if binary is None:
+                binary = rle_mod.decode_rle(seg).astype(bool)
+            m = jnp.asarray(binary)
+            # remove small foreground sprinkles
+            labels, areas = connected_components(m)
+            m = m & ~((labels > 0) & (areas <= self.min_mask_region_area))
+            # fill small background holes
+            labels, areas = connected_components(~m)
+            m = m | ((labels > 0) & (areas <= self.min_mask_region_area))
+            binary = np.asarray(m)
+            if not binary.any():
+                continue
+            ys, xs = np.nonzero(binary)
+            r = dict(r)
+            r["segmentation"] = (binary if isinstance(seg, np.ndarray)
+                                 else rle_mod.encode_mask(binary))
+            r["area"] = int(binary.sum())
+            r["bbox"] = [int(xs.min()), int(ys.min()),
+                         int(xs.max() - xs.min()), int(ys.max() - ys.min())]
+            out.append(r)
+        return out

@@ -55,3 +55,20 @@ def test_amg_generate(tiny_model, rng):
         assert len(r["bbox"]) == 4
         assert 0 <= r["predicted_iou"] <= 1 or True  # random weights
         assert "stability_score" in r and "crop_box" in r
+
+
+def test_amg_small_region_postprocess(tiny_model, rng):
+    from no_time_to_train_tpu.models.sam2.amg import SAM2AutomaticMaskGenerator
+    model, params = tiny_model
+    amg = SAM2AutomaticMaskGenerator(model, params, min_mask_region_area=6)
+    seg = np.zeros((32, 32), bool)
+    seg[4:20, 4:20] = True
+    seg[8:10, 8:10] = False     # small hole (area 4) -> filled
+    seg[28:30, 28:30] = True    # small sprinkle (area 4) -> removed
+    recs = amg.postprocess_small_regions([
+        {"segmentation": seg, "area": int(seg.sum()),
+         "bbox": [4, 4, 25, 25], "predicted_iou": 0.9,
+         "point_coords": [[0, 0]], "stability_score": 1.0,
+         "crop_box": [0, 0, 32, 32]}])
+    out = recs[0]["segmentation"]
+    assert out[8, 8] and not out[28, 28]

@@ -118,3 +118,17 @@ def test_dataset_tools(tmp_path, rng):
     # semantic-ref sampling: 2 anns per image -> one entry with both
     out = dt.sample_memory_semantic_ref(p, str(tmp_path / "sem.pkl"), 2)
     assert all(len(e["ann_ids"]) == 2 for e in out[1])
+
+
+def test_video_loader(tmp_path, rng):
+    from no_time_to_train_tpu.data.video_loader import (load_video_frames,
+                                                        AsyncVideoFrameLoader)
+    for i in range(3):
+        Image.fromarray((rng.random((20, 24, 3)) * 255).astype(np.uint8)
+                        ).save(tmp_path / f"{i}.jpg")
+    frames, oh, ow = load_video_frames(str(tmp_path), image_size=16)
+    assert frames.shape == (3, 16, 16, 3) and (oh, ow) == (20, 24)
+    loader, _, _ = load_video_frames(str(tmp_path), image_size=16,
+                                     async_loading_frames=True)
+    assert isinstance(loader, AsyncVideoFrameLoader)
+    assert loader[2].shape == (16, 16, 3)
