@@ -155,10 +155,16 @@ class NoAMGMatcher:
         self._fill_jit = jax.jit(self._fill_features)
         self._test_jit = jax.jit(self._test_impl,
                                  static_argnames=("with_negative",))
-        self._test_batch_jit = jax.jit(
-            jax.vmap(self._test_impl,
-                     in_axes=(None, None, None, None, 0)),
-            static_argnames=("with_negative",))
+        def _batched(sam2_params, dino_params, bank, bank_neg, imgs,
+                     with_negative=False):
+            def one(img):
+                return self._test_impl(sam2_params, dino_params, bank,
+                                       bank_neg, img,
+                                       with_negative=with_negative)
+            return jax.vmap(one)(imgs)
+
+        self._test_batch_jit = jax.jit(_batched,
+                                       static_argnames=("with_negative",))
 
     # ------------------------------------------------------------------ fill
     def _fill_features(self, dino_params, ref_imgs, ref_masks):
