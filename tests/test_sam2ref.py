@@ -67,3 +67,45 @@ def test_fill_and_test(ref_model, rng):
     assert out["lr_logits"].shape[0] == 8
     assert out["scores"].shape == (8,)
     assert set(np.unique(out["labels"])) <= {0, 1}
+
+
+def test_train_dataset_and_collate(tmp_path, rng):
+    """COCORefTrainDataset + the train script's collate produce a valid
+    fixed-shape batch."""
+    import json
+    from PIL import Image as PILImage
+    from no_time_to_train_tpu.data.datasets import COCORefTrainDataset
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from train_sam2ref import make_batch
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, anns = [], []
+    for i in range(3):
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        PILImage.fromarray(arr).save(img_dir / f"{i}.png")
+        images.append({"id": i + 1, "height": 64, "width": 64,
+                       "file_name": f"{i}.png"})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [10, 10, 40, 40], "area": 1600.0, "iscrowd": 0,
+                     "segmentation": [[10, 10, 50, 10, 50, 50, 10, 50]]})
+    data = {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "person"}]}
+    jp = tmp_path / "ann.json"
+    jp.write_text(json.dumps(data))
+
+    ds = COCORefTrainDataset(str(img_dir), str(jp), image_size=64,
+                             n_pos_points=2, neg_ratio=1.0,
+                             cat_names=["person"], seed=0)
+    item = ds[0]
+    assert item["target_img"].shape == (64, 64, 3)
+    assert 0 in item["tar_anns_by_cat"]
+    assert item["tar_anns_by_cat"][0]["query_points"].shape == (4, 2)
+    assert 0 in item["refs_by_cat"]
+
+    batch = make_batch(ds, [0, 1], n_cat_max=1, n_refs=1, n_points=4,
+                       n_ins_max=2, image_size=64)
+    assert batch["tar_imgs"].shape == (2, 64, 64, 3)
+    assert batch["gt_masks"].shape == (2, 2, 16, 16)
+    assert bool(batch["cat_valid"].all())
