@@ -222,12 +222,9 @@ class NoAMGMatcher:
 
         def decode_chunk(pc):
             labels = jnp.ones((chunk, 1), jnp.int32)
-            masks4, ious4, _, _ = self.sam2.apply(
-                {"params": sam2_params}, feats, pc, labels, None, hr, True,
-                True, method=self.sam2.forward_sam_heads)
-            best = jnp.argmax(ious4[:, 1:], axis=-1) + 1
-            bi = jnp.arange(chunk)
-            return masks4[bi, best].astype(jnp.float32), ious4[bi, best]
+            return self.sam2.apply(
+                {"params": sam2_params}, feats, pc, labels, hr,
+                method=self.sam2.forward_sam_heads_best)
 
         lr, ious = jax.lax.map(decode_chunk, pts_chunks)
         lr = lr.reshape(n_pts, *lr.shape[-2:])

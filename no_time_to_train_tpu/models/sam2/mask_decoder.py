@@ -175,6 +175,64 @@ class MaskDecoder(nn.Module):
         out_scores = jnp.where(stable, single_iou, best_scores)
         return out_logits, out_scores
 
+    def predict_best_of_multimask(self, image_embeddings, image_pe,
+                                  sparse_prompt_embeddings,
+                                  dense_prompt_embeddings, repeat_image,
+                                  high_res_features=None, skip_last_n_keys=0):
+        """Fused grid-decode path: runs the transformer, predicts IoUs, picks
+        the best multimask token (channels 1..3, the NTTT selection at
+        Sam2MatchingBaseline_noAMG.py:295-299) and computes ONLY that mask —
+        the per-prompt [B, 4, 4H, 4W] mask product is the decode's largest
+        tensor, so computing 1/4 of it cuts the dominant HBM traffic.
+        Numerics identical to output_all_masks + host-side best-of select."""
+        s = 1 if self.pred_obj_scores else 0
+        toks = [self.iou_token, self.mask_tokens]
+        if self.pred_obj_scores:
+            toks = [self.obj_score_token] + toks
+        output_tokens = jnp.concatenate(toks, axis=0).astype(self.dtype)
+        bs = sparse_prompt_embeddings.shape[0]
+        output_tokens = jnp.broadcast_to(
+            output_tokens[None], (bs,) + output_tokens.shape)
+        tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings],
+                                 axis=1)
+        if repeat_image or image_embeddings.shape[0] != bs:
+            src = jnp.broadcast_to(image_embeddings,
+                                   (bs,) + image_embeddings.shape[1:])
+        else:
+            src = image_embeddings
+        src = src + dense_prompt_embeddings
+        pos_src = jnp.broadcast_to(image_pe[None], src.shape)
+        b, h, w, c = src.shape
+        hs, src_out = self.transformer(src, pos_src, tokens,
+                                       skip_last_n_keys=skip_last_n_keys)
+        iou_token_out = hs[:, s, :]
+        mask_tokens_out = hs[:, s + 1: s + 1 + self.num_mask_tokens, :]
+        iou_pred = self.iou_prediction_head(iou_token_out)
+
+        best = jnp.argmax(iou_pred[:, 1:], axis=-1) + 1   # channels 1..3
+        bi = jnp.arange(bs)
+        hyper_all = jnp.stack(
+            [self.hyper_mlps[i](mask_tokens_out[:, i, :])
+             for i in range(self.num_mask_tokens)], axis=1)
+        hyper_best = hyper_all[bi, best]                   # [B, C/8]
+
+        src_img = src_out.reshape(b, h, w, c)
+        up = conv_transpose_2x2_s2(src_img, self.upscale_dc1_kernel,
+                                   self.upscale_dc1_bias)
+        if self.use_high_res_features:
+            feat_s0, feat_s1 = high_res_features
+            up = ACT["gelu"](self.upscale_ln(up + feat_s1))
+            up = conv_transpose_2x2_s2(up, self.upscale_dc2_kernel,
+                                       self.upscale_dc2_bias)
+            up = ACT["gelu"](up + feat_s0)
+        else:
+            up = ACT["gelu"](self.upscale_ln(up))
+            up = conv_transpose_2x2_s2(up, self.upscale_dc2_kernel,
+                                       self.upscale_dc2_bias)
+            up = ACT["gelu"](up)
+        mask = jnp.einsum("bc,bhwc->bhw", hyper_best, up)
+        return mask, iou_pred[bi, best]
+
     def __call__(self, image_embeddings, image_pe, sparse_prompt_embeddings,
                  dense_prompt_embeddings, multimask_output, repeat_image,
                  high_res_features=None, return_iou_token_out=False,

@@ -217,6 +217,19 @@ class SAM2(nn.Module):
         return (low_res_masks, high_res_masks, ious, obj_ptr,
                 object_score_logits)
 
+    def forward_sam_heads_best(self, backbone_features, point_coords,
+                               point_labels, high_res_features=None):
+        """Fused grid-decode: best-of-multimask selected inside the decoder
+        (see MaskDecoder.predict_best_of_multimask). Returns
+        (mask [B, 4h, 4w] f32, iou [B])."""
+        sparse, dense = self.sam_prompt_encoder(
+            points=(point_coords, point_labels))
+        mask, iou = self.sam_mask_decoder.predict_best_of_multimask(
+            backbone_features, self.sam_prompt_encoder.get_dense_pe(),
+            sparse, dense, repeat_image=False,
+            high_res_features=high_res_features)
+        return mask.astype(jnp.float32), iou
+
     # ----------------------------------------------------------------- memory
     def encode_memory(self, pix_feat, pred_masks_high_res, is_mask_from_pts,
                       force_binarize=False):
