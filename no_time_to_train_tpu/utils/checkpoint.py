@@ -117,3 +117,40 @@ def load_memory_bank(path, bank, bank_neg=None):
     if bank_neg is not None:
         bank_neg = restore(bank_neg, "seg_model.memory_bank_neg")
     return bank, bank_neg
+
+
+def save_memory_bank_orbax(path, bank, bank_neg=None):
+    """TPU-native alternative: the bank pytree via orbax (async-capable,
+    shard-aware). The torch-format writer above stays the default for
+    interchange with reference checkpoints."""
+    import orbax.checkpoint as ocp
+    payload = {"bank": {f: np.asarray(getattr(bank, f))
+                        for f in BANK_FIELDS}}
+    if bank_neg is not None:
+        payload["bank_neg"] = {f: np.asarray(getattr(bank_neg, f))
+                               for f in BANK_FIELDS}
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_memory_bank_orbax(path, bank, bank_neg=None):
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+
+    def restore(b, tree):
+        reps = {}
+        for f in BANK_FIELDS:
+            if f in tree:
+                cur = getattr(b, f)
+                val = np.asarray(tree[f])
+                if f == "postprocessed":
+                    val = val.reshape(-1)[0] if val.ndim else val
+                reps[f] = jnp.asarray(val, dtype=cur.dtype)
+        return b.replace(**reps)
+
+    bank = restore(bank, payload["bank"])
+    if bank_neg is not None and "bank_neg" in payload:
+        bank_neg = restore(bank_neg, payload["bank_neg"])
+    return bank, bank_neg

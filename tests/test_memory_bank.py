@@ -121,3 +121,20 @@ def test_scoring_parity(rng):
                                    jnp.asarray(obj_sim.astype(np.float32)))
     np.testing.assert_allclose(np.asarray(got_ios), ref_ios.numpy(), atol=1e-5,
                                rtol=1e-4)
+
+
+def test_orbax_roundtrip(tmp_path, rng):
+    from no_time_to_train_tpu.utils import checkpoint as ckpt_io
+    import jax.numpy as jnp
+    bank = mb.create(2, 2, 4, 8, 2, 2)
+    bank = mb.fill(bank, jnp.asarray([0, 1], jnp.int32),
+                   jnp.asarray(rng.standard_normal((2, 4, 8)), jnp.float32),
+                   jnp.ones((2, 4)))
+    bank = mb.postprocess(bank)
+    path = str(tmp_path / "bank_orbax")
+    ckpt_io.save_memory_bank_orbax(path, bank)
+    bank2 = mb.create(2, 2, 4, 8, 2, 2)
+    bank2, _ = ckpt_io.load_memory_bank_orbax(path, bank2)
+    np.testing.assert_allclose(np.asarray(bank2.feats_avg),
+                               np.asarray(bank.feats_avg), atol=1e-6)
+    assert bool(bank2.postprocessed)
