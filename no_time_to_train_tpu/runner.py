@@ -74,7 +74,7 @@ def get_dataset(dataset_cfg, stage):
 
 class MatcherRunner:
     def __init__(self, model_cfg, dataset_cfgs, data_load_cfgs=None,
-                 test_mode="none", seed=42):
+                 test_mode="none", seed=42, devices=1):
         model_cfg = copy.deepcopy(model_cfg)
         dataset_cfgs = copy.deepcopy(dataset_cfgs)
         model_cfg, dataset_cfgs = _apply_dotted_hacks(model_cfg, dataset_cfgs)
@@ -128,6 +128,7 @@ class MatcherRunner:
             memory_length=int(mb_cfg.get("length", 10)),
             sam2_params=sam2_params, dino_params=dino_params, seed=seed)
 
+        self.devices = int(devices)
         self.output_queue = []
         self.scalars_queue = []
         self.time_queue = []
@@ -177,6 +178,10 @@ class MatcherRunner:
             # host-side prefetch (replaces the reference's DataLoader
             # workers) + a two-deep device pipeline: while image i's outputs
             # stream back and finalize on host, image i+1 computes on device.
+            import jax
+            if self.devices > 1 and len(jax.devices()) >= self.devices:
+                return self._run_test_data_parallel(ds, export_result,
+                                                    output_name)
             workers = max(1, int(self.data_load_cfgs.get("workers", 0)) or 1)
             pool = ThreadPoolExecutor(max_workers=workers)
             futures = [pool.submit(ds.__getitem__, i)
@@ -250,3 +255,45 @@ class MatcherRunner:
         else:
             raise NotImplementedError(f"Unrecognized test mode {mode}")
         return None
+
+
+    def _run_test_data_parallel(self, ds, export_result, output_name):
+        """Shard the image stream over a `data` mesh (reference Lightning-DDP
+        equivalent, SURVEY §2.5): per-device single-image steps via shard_map,
+        interleaved merge reproducing the reference rank order."""
+        import jax
+        from no_time_to_train_tpu.parallel.mesh import (
+            make_mesh, make_data_parallel_test, interleave_results)
+        n = self.devices
+        mesh = make_mesh(jax.devices()[:n])
+        run = make_data_parallel_test(self.matcher, mesh)
+        per_rank = [[] for _ in range(n)]
+        for start in range(0, len(ds), n):
+            idxs = [min(start + j, len(ds) - 1) for j in range(n)]  # pad
+            items = [ds[i] for i in idxs]
+            t0 = time.time()
+            out = run(np.stack([it["target_img"] for it in items]))
+            out = jax.tree.map(np.asarray, out)
+            self.time_queue.append((time.time() - t0) / n)
+            for j, item in enumerate(items):
+                raw = {k: v[j] for k, v in out.items()}
+                info = item["target_img_info"]
+                fin = finalize_results(raw, info["ori_height"],
+                                       info["ori_width"])
+                per_img = dict(img_id=info["id"], scores=fin["scores"],
+                               labels=fin["labels"], boxes=fin["bboxes"],
+                               masks=fin["binary_masks"])
+                per_rank[j].append(ds.encode_results([per_img]))
+        merged = interleave_results(per_rank, len(ds))
+        results_unpacked = [r for enc in merged for r in enc]
+
+        times_np = np.array(self.time_queue)
+        print("\n[Validation] Inference Time Benchmark:")
+        print(f"  Total images: {len(ds)}")
+        print(f"  Total time: {np.sum(times_np) * self.devices:.4f} s")
+        print(f"  Average time per image: {np.mean(times_np):.4f} s")
+        print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
+        if export_result:
+            with open(export_result, "w") as f:
+                json.dump(results_unpacked, f)
+        return ds.evaluate(results_unpacked, output_name=output_name)

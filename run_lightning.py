@@ -108,9 +108,10 @@ def main(argv=None):
 
     seed = int(args.get("seed") or cfg.get("seed_everything", 42))
 
+    devices = int(cfg.get("trainer", {}).get("devices", 1) or 1)
     from no_time_to_train_tpu.runner import MatcherRunner
     runner = MatcherRunner(model_cfg, dataset_cfgs, data_load_cfgs,
-                           test_mode=test_mode, seed=seed)
+                           test_mode=test_mode, seed=seed, devices=devices)
 
     output_name = ""
     if args.get("coco_semantic_split"):

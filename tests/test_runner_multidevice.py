@@ -1,0 +1,95 @@
+"""CLI test phase with trainer.devices=4 on the virtual CPU mesh."""
+import json
+import sys
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+sys.path.insert(0, "/root/repo")
+
+from conftest import cpu_devices
+
+
+def test_cli_multidevice_test(tmp_path, rng, capsys):
+    if len(cpu_devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import run_lightning
+    from no_time_to_train_tpu.data.few_shot_sampling import sample_memory_dataset
+    from no_time_to_train_tpu.config import presets
+    from no_time_to_train_tpu.config.presets import Sam2Config
+
+    presets.SAM2_PRESETS.setdefault("sam2_tiny_test.yaml", Sam2Config(
+        embed_dim=32, num_heads=1, stages=(1, 1, 1, 1),
+        global_att_blocks=(2,), window_pos_embed_bkg_spatial_size=(2, 2),
+        window_spec=(4, 2, 4, 2), backbone_channel_list=(256, 128, 64, 32),
+        image_size=128))
+    presets.ENCODER_PRESETS.setdefault(
+        "dino_tiny_test", presets.EncoderConfig("dino_tiny_test", 28, 14, 32,
+                                                1, 2, "local"))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, anns = [], []
+    for i in range(5):
+        arr = (rng.random((80, 96, 3)) * 60).astype(np.uint8)
+        arr[10:58, 14:62] = [210, 60, 60]
+        Image.fromarray(arr).save(img_dir / f"{i:04d}.png")
+        images.append({"id": i + 1, "height": 80, "width": 96,
+                       "file_name": f"{i:04d}.png"})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [14, 10, 48, 48], "area": 48 * 48.0,
+                     "iscrowd": 0,
+                     "segmentation": [[14, 10, 62, 10, 62, 58, 14, 58]]})
+    data = {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "person"}]}
+    json_path = tmp_path / "ann.json"
+    json_path.write_text(json.dumps(data))
+    pkl = str(tmp_path / "m.pkl")
+    sample_memory_dataset(str(json_path), pkl, 2, remove_bad=False, seed=0)
+
+    cfg = {
+        "seed_everything": 42,
+        "model": {"init_args": {
+            "model_cfg": {
+                "name": "matching_baseline_noAMG",
+                "sam2_cfg_file": "sam2_tiny_test.yaml",
+                "sam2_infer_cfgs": {"points_per_side": 4,
+                                    "testing_point_bs": 8, "iou_thr": 0.0,
+                                    "nms_thr": 0.5, "num_out_instance": 5,
+                                    "kmeans_k": 2, "n_pca_components": 2,
+                                    "cls_num_per_mask": 1},
+                "encoder_cfg": {"name": "dino_tiny_test"},
+                "memory_bank_cfg": {"enable": True, "category_num": 1,
+                                    "length": 2}},
+            "dataset_cfgs": {
+                "fill_memory": {"name": "coco", "root": str(img_dir),
+                                "json_file": str(json_path),
+                                "memory_pkl": pkl, "image_size": 28,
+                                "memory_length": 2, "context_ratio": 0.2,
+                                "norm_img": False, "cat_names": ["person"]},
+                "test": {"name": "coco", "root": str(img_dir),
+                         "json_file": str(json_path), "image_size": 128,
+                         "norm_img": False, "cat_names": ["person"]}},
+            "data_load_cfgs": {"workers": 0}}},
+        "trainer": {"devices": 4},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    mem, post = str(tmp_path / "m.ckpt"), str(tmp_path / "p.ckpt")
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "fill_memory",
+                        "--out_path", mem, "--trainer.devices", "1"])
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "postprocess_memory",
+                        "--ckpt_path", mem, "--out_path", post,
+                        "--trainer.devices", "1"])
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "test", "--ckpt_path", post,
+                        "--export_result", str(tmp_path / "res.json")])
+    out = capsys.readouterr().out
+    assert "FPS:" in out and "Average Precision" in out
+    results = json.loads((tmp_path / "res.json").read_text())
+    # all 5 images covered despite device padding
+    assert {r["image_id"] for r in results} <= {1, 2, 3, 4, 5}
