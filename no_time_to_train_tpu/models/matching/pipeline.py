@@ -226,9 +226,18 @@ class NoAMGMatcher:
                 {"params": sam2_params}, feats, pc, labels, hr,
                 method=self.sam2.forward_sam_heads_best)
 
-        lr, ious = jax.lax.map(decode_chunk, pts_chunks)
-        lr = lr.reshape(n_pts, *lr.shape[-2:])
-        return lr, ious.reshape(-1), pts
+        n_chunks = n_pts // chunk
+        if n_chunks <= 8:
+            # unrolled: XLA schedules/fuses across chunks (a lax.map while
+            # loop serializes them and was the profiled top cost)
+            outs = [decode_chunk(pts_chunks[i]) for i in range(n_chunks)]
+            lr = jnp.concatenate([o[0] for o in outs], axis=0)
+            ious = jnp.concatenate([o[1] for o in outs], axis=0)
+        else:
+            lr, ious = jax.lax.map(decode_chunk, pts_chunks)
+            lr = lr.reshape(n_pts, *lr.shape[-2:])
+            ious = ious.reshape(-1)
+        return lr, ious, pts
 
     def _test_impl(self, sam2_params, dino_params, bank, bank_neg, tar_img,
                    with_negative=False):
