@@ -236,6 +236,7 @@ class MatcherRunner:
                 with open(export_result, "w") as f:
                     json.dump(results_unpacked, f)
             stats = ds.evaluate(results_unpacked, output_name=output_name)
+            self._write_metrics_csv(stats, times_np)
             return stats
         elif mode == "vis_memory":
             from no_time_to_train_tpu.data.visualization import vis_memory
@@ -256,6 +257,25 @@ class MatcherRunner:
             raise NotImplementedError(f"Unrecognized test mode {mode}")
         return None
 
+
+    def _write_metrics_csv(self, stats, times_np, path="metrics_log.csv"):
+        """CSV metrics record (replaces the reference's Lightning CSVLogger,
+        new_exps/*.yaml:59-63)."""
+        import csv
+        row = {"images": len(times_np),
+               "mean_time_s": float(np.mean(times_np)),
+               "fps": float(1.0 / np.mean(times_np))}
+        if stats:
+            for iou_type, st in stats.items():
+                row[f"{iou_type}_AP"] = float(st[0])
+                row[f"{iou_type}_AP50"] = float(st[1])
+                row[f"{iou_type}_AP75"] = float(st[2])
+        write_header = not os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if write_header:
+                w.writeheader()
+            w.writerow(row)
 
     def _run_test_data_parallel(self, ds, export_result, output_name):
         """Shard the image stream over a `data` mesh (reference Lightning-DDP
