@@ -72,12 +72,47 @@ def grid_points(points_per_side, sam_input_size):
     return jnp.asarray(pts)
 
 
-def _random_params_like(init_fn, key, seed):
+def _param_shapes_cached(init_fn, key, cache_tag=None):
+    """eval_shape traces the full model in Python (~1 min for SAM2-L on this
+    host); cache the resulting shape tree on disk keyed by the config tag."""
+    import hashlib
+    import os
+    import pickle
+    path = None
+    if cache_tag is not None:
+        d = os.path.expanduser("~/.cache/nttt_param_shapes")
+        os.makedirs(d, exist_ok=True)
+        digest = hashlib.sha1(repr(cache_tag).encode()).hexdigest()[:16]
+        path = os.path.join(d, f"{digest}.pkl")
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    flat, treedef_bytes = pickle.load(f)
+                import jax.tree_util as jtu
+                treedef = pickle.loads(treedef_bytes)
+                return jtu.tree_unflatten(
+                    treedef, [jax.ShapeDtypeStruct(s, d) for s, d in flat])
+            except Exception:
+                pass
+    shapes = jax.eval_shape(init_fn, key)["params"]
+    if path is not None:
+        try:
+            import jax.tree_util as jtu
+            leaves, treedef = jtu.tree_flatten(shapes)
+            with open(path, "wb") as f:
+                pickle.dump(([(l.shape, l.dtype) for l in leaves],
+                             pickle.dumps(treedef)), f)
+        except Exception:
+            pass
+    return shapes
+
+
+def _random_params_like(init_fn, key, seed, cache_tag=None):
     """Random params via eval_shape + host numpy (running flax `init` un-jitted
     dispatches thousands of tiny ops to the device — pathological through a
     remote-TPU tunnel; shapes are all we need for random weights). Norm scales
     and layer-scale gammas init to 1, biases to 0, everything else He-ish."""
-    shapes = jax.eval_shape(init_fn, key)["params"]
+    shapes = _param_shapes_cached(init_fn, key, cache_tag)
     rng = np.random.default_rng(seed)
     flat = jax.tree_util.tree_flatten_with_path(shapes)
     leaves = []
@@ -129,12 +164,13 @@ class NoAMGMatcher:
             sam2_params = _random_params_like(
                 lambda k: self.sam2.init(k, jnp.zeros((1, s, s, 3)),
                                          method=self.sam2.init_everything),
-                key, seed)
+                key, seed, cache_tag=("sam2", repr(self.sam2_cfg)))
         if dino_params is None:
             e = self.enc_cfg.img_size
             dino_params = _random_params_like(
                 lambda k: self.dino.init(k, jnp.zeros((1, e, e, 3))),
-                key, seed + 1)
+                key, seed + 1,
+                cache_tag=("dino", repr(self.enc_cfg), type(self.dino).__name__))
         # Params live on device permanently (numpy leaves would be re-uploaded
         # on EVERY execute — catastrophic over a remote-TPU link). Master
         # copies are kept in the compute dtype for the encoders' weights.
