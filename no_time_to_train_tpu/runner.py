@@ -149,15 +149,30 @@ class MatcherRunner:
         mode = self.test_mode
         self.load_ckpt(ckpt_path)
         if mode in ("fill_memory", "fill_memory_neg"):
+            from concurrent.futures import ThreadPoolExecutor
             ds = get_dataset(self.dataset_cfgs["fill_memory"],
                              mode if mode != "fill_memory" else "fill_memory")
-            for i in range(len(ds)):
-                item = ds[i]
+            # batch references through the encoder (the reference runs bs=1
+            # with a DataLoader; here a thread prefetches + device batches of 8)
+            bs = 8
+            pool = ThreadPoolExecutor(max_workers=2)
+            batches = [list(range(i, min(i + bs, len(ds))))
+                       for i in range(0, len(ds), bs)]
+            futs = [pool.submit(lambda ix: [ds[j] for j in ix], b)
+                    for b in batches[:2]]
+            for bi, b in enumerate(batches):
+                items = futs.pop(0).result()
+                if bi + 2 < len(batches):
+                    futs.append(pool.submit(
+                        lambda ix: [ds[j] for j in ix], batches[bi + 2]))
                 self.matcher.fill_memory(
-                    item["img"][None], item["mask"][None], [item["cat_ind"]],
+                    np.stack([it["img"] for it in items]),
+                    np.stack([it["mask"] for it in items]),
+                    [it["cat_ind"] for it in items],
                     positive=(mode == "fill_memory"))
-                if progress and (i + 1) % 20 == 0:
-                    print(f"fill {i + 1}/{len(ds)}")
+                if progress:
+                    print(f"fill {min((bi + 1) * bs, len(ds))}/{len(ds)}")
+            pool.shutdown()
             if out_path:
                 self.save_ckpt(out_path)
                 print(f"Checkpoint with memory is saved to {out_path}")
