@@ -23,6 +23,17 @@ import jax
 import jax.numpy as jnp
 
 from no_time_to_train_tpu.models.sam2.model import SAM2, NO_OBJ_SCORE
+
+
+def apply_non_overlapping_constraints(pred_masks):
+    """Keep only the highest-scoring object per pixel; suppress others to
+    <= -10 (reference sam2_base.py:869-887). pred_masks: [B, H, W]."""
+    if pred_masks.shape[0] == 1:
+        return pred_masks
+    max_obj = jnp.argmax(pred_masks, axis=0, keepdims=True)
+    batch_obj = jnp.arange(pred_masks.shape[0])[:, None, None]
+    keep = max_obj == batch_obj
+    return jnp.where(keep, pred_masks, jnp.clip(pred_masks, max=-10.0))
 from no_time_to_train_tpu.ops.resize import resize, resize_hw
 from no_time_to_train_tpu.ops.connected_components import fill_holes_in_mask_scores
 
@@ -186,8 +197,11 @@ class SAM2VideoPredictor:
         return state["obj_id_to_idx"][obj_id]
 
     def add_new_points_or_box(self, state, frame_idx, obj_id, points=None,
-                              labels=None, box=None, normalize_coords=True):
-        """Reference :171-318 (simplified: fresh prompts per call)."""
+                              labels=None, box=None, normalize_coords=True,
+                              clear_old_points=True):
+        """Reference :171-318. clear_old_points=False appends the new clicks
+        to the frame's existing prompts (reference misc.concat_points
+        :283-291)."""
         idx = self._obj_idx(state, obj_id)
         s = self.cfg.image_size
         pts = np.zeros((0, 2), np.float32)
@@ -199,6 +213,10 @@ class SAM2VideoPredictor:
         if points is not None:
             pts = np.concatenate([pts, np.asarray(points, np.float32)], axis=0)
             lbl = np.concatenate([lbl, np.asarray(labels, np.int32)])
+        old = state["point_inputs_per_obj"][idx].get(frame_idx)
+        if not clear_old_points and old is not None:
+            pts = np.concatenate([old[0], pts], axis=0)
+            lbl = np.concatenate([old[1], lbl], axis=0)
         state["point_inputs_per_obj"][idx][frame_idx] = (pts, lbl)
         state["mask_inputs_per_obj"][idx].pop(frame_idx, None)
         return self._interactive_predict(state, frame_idx)
@@ -379,7 +397,10 @@ class SAM2VideoPredictor:
             self.params, fpn, pos_enc, memory, memory_pos, memory_valid,
             multimask=multimask)
 
-        mem_feat, mem_pos = self._jit_encode(self.params, fpn, hr[:, 0],
+        hr_for_mem = hr[:, 0]
+        if self.cfg.non_overlap_masks_for_mem_enc and n_obj > 1:
+            hr_for_mem = apply_non_overlapping_constraints(hr_for_mem)
+        mem_feat, mem_pos = self._jit_encode(self.params, fpn, hr_for_mem,
                                              is_pts=False)
         for idx in range(n_obj):
             state["output_dict_per_obj"][idx]["non_cond"][frame_idx] = {

@@ -107,3 +107,17 @@ def test_video_propagation_parity(tmp_path, rng):
         conf = np.abs(ref_masks[t]) > 0.2
         np.testing.assert_allclose(got_masks[t][conf], ref_masks[t][conf],
                                    atol=0.25, rtol=0.5)
+
+
+def test_non_overlap_and_click_accumulation(rng):
+    import jax.numpy as jnp
+    from no_time_to_train_tpu.models.sam2.video import (
+        apply_non_overlapping_constraints)
+    masks = jnp.asarray(rng.standard_normal((3, 8, 8)), jnp.float32)
+    out = np.asarray(apply_non_overlapping_constraints(masks))
+    winner = np.asarray(masks).argmax(0)
+    for i in range(3):
+        overlap = (winner != i)
+        assert np.all(out[i][overlap] <= -10.0 + 1e-6)
+        np.testing.assert_array_equal(out[i][~overlap],
+                                      np.asarray(masks)[i][~overlap])
