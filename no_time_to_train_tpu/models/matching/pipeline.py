@@ -298,7 +298,7 @@ class NoAMGMatcher:
         # DINO grid -> mask resolution (reference _process_sam_masks :534-560)
         feat_sp = resize(tar_feat.reshape(gs, gs, -1)[None], (lr_res, lr_res),
                          mode="bilinear", antialias=True)[0]
-        feat_sp = feat_sp.reshape(lr_res * lr_res, -1)
+        feat_sp = feat_sp.reshape(lr_res * lr_res, -1).astype(self.sam2.dtype)
         masks_bool = (lr > 0).reshape(n_masks, -1)
 
         n_classes = bank.feats_ins_avg.shape[0]

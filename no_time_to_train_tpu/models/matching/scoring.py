@@ -15,11 +15,14 @@ __all__ = ["masked_avg_feats", "sim_global_avg", "sim_global_avg_with_neg",
 
 def masked_avg_feats(tar_feat, masks_bool, valid=None):
     """tar_feat [P, D]; masks_bool [M, P] -> L2-normalized pooled feats [M, D].
-    Zero-area masks divide by 1 (reference :887-889)."""
+    Zero-area masks divide by 1 (reference :887-889). The [M, P] x [P, D]
+    pooling matmul runs in tar_feat's dtype with fp32 accumulation (0/1 mask
+    operand is exact in bf16; averages/norms computed in fp32)."""
     masks = masks_bool.astype(tar_feat.dtype)
-    msum = masks.sum(axis=-1, keepdims=True)
+    msum = masks.sum(axis=-1, keepdims=True, dtype=jnp.float32)
     msum = jnp.where(msum == 0, 1.0, msum)
-    avg = (masks @ tar_feat) / msum
+    pooled = jnp.dot(masks, tar_feat, preferred_element_type=jnp.float32)
+    avg = pooled / msum
     norm = jnp.maximum(jnp.linalg.norm(avg, axis=-1, keepdims=True), 1e-12)
     return avg / norm
 
@@ -62,11 +65,11 @@ def semantic_ios(masks_bool, labels, obj_sim, valid=None, use_semantic=True,
 
     masks_bool [M, P]; labels [M]; obj_sim [M, M]; valid [M] bool. Matches the
     reference per-class loop exactly (invalid masks contribute nothing)."""
-    masks = masks_bool.astype(jnp.float32)
+    masks = masks_bool.astype(jnp.bfloat16)  # 0/1 exact; fp32 accumulation
     if valid is not None:
-        masks = masks * valid[:, None].astype(jnp.float32)
-    pos_num = masks.sum(axis=-1)
-    inter = masks @ masks.T
+        masks = masks * valid[:, None].astype(masks.dtype)
+    pos_num = masks.sum(axis=-1, dtype=jnp.float32)
+    inter = jnp.dot(masks, masks.T, preferred_element_type=jnp.float32)
     m = masks.shape[0]
     same = (labels[:, None] == labels[None, :]) & ~jnp.eye(m, dtype=bool)
     if valid is not None:
