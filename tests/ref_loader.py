@@ -141,31 +141,50 @@ def install_torchvision_shim():
     tv.ops = ops
     transforms_mod = _mod("torchvision.transforms")
 
-    class Normalize:
+    import torch.nn as _nn
+
+    class Normalize(_nn.Module):
         def __init__(self, mean, std):
+            super().__init__()
             self.mean, self.std = mean, std
 
-        def __call__(self, x):
+        def forward(self, x):
             mean = torch.tensor(self.mean).view(1, -1, 1, 1).to(x)
             std = torch.tensor(self.std).view(1, -1, 1, 1).to(x)
             if x.dim() == 3:
                 return (x - mean[0]) / std[0]
             return (x - mean) / std
 
-    class Resize:
+        __call__ = _nn.Module.__call__
+
+    class Resize(_nn.Module):
         def __init__(self, size, *a, **k):
+            super().__init__()
             self.size = size if isinstance(size, (tuple, list)) else (size, size)
 
-        def __call__(self, x):
+        def forward(self, x):
             import torch.nn.functional as TF
-            return TF.interpolate(x[None] if x.dim() == 3 else x,
-                                  size=tuple(self.size), mode="bilinear",
-                                  align_corners=False).squeeze(0)
+            squeeze = x.dim() == 3
+            y = TF.interpolate(x[None] if squeeze else x,
+                               size=tuple(self.size), mode="bilinear",
+                               align_corners=False)
+            return y.squeeze(0) if squeeze else y
 
-    class ToTensor:
-        def __call__(self, x):
+    class ToTensor(_nn.Module):
+        def forward(self, x):
             import numpy as _np
             return torch.from_numpy(_np.asarray(x).transpose(2, 0, 1)) / 255.0
+
+    # SAM2Transforms torch.jit.scripts its Sequential of these shims, which
+    # aren't scriptable — make script a pass-through for Modules in tests.
+    _orig_script = torch.jit.script
+
+    def _script(obj, *a, **k):
+        if isinstance(obj, _nn.Module):
+            return obj
+        return _orig_script(obj, *a, **k)
+
+    torch.jit.script = _script
 
     transforms_mod.Normalize = Normalize
     transforms_mod.Resize = Resize

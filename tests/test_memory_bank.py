@@ -138,3 +138,21 @@ def test_orbax_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(bank2.feats_avg),
                                np.asarray(bank.feats_avg), atol=1e-6)
     assert bool(bank2.postprocessed)
+
+
+def test_batched_fill_order_matches_sequential(rng):
+    """Batched fill must land references in identical slots as item-by-item
+    fill (the reference's sequential order)."""
+    b1 = mb.create(C, L, N, D, K, P)
+    b2 = mb.create(C, L, N, D, K, P)
+    cats = np.asarray([0, 0, 1, 2, 1, 0, 2, 2, 1, 0], np.int32)[:C * L][:8]
+    feats = rng.standard_normal((len(cats), N, D)).astype(np.float32)
+    masks = (rng.random((len(cats), N)) > 0.5).astype(np.float32)
+    b1 = mb.fill(b1, jnp.asarray(cats), jnp.asarray(feats), jnp.asarray(masks))
+    for i in range(len(cats)):
+        b2 = mb.fill(b2, jnp.asarray(cats[i:i + 1]),
+                     jnp.asarray(feats[i:i + 1]), jnp.asarray(masks[i:i + 1]))
+    np.testing.assert_array_equal(np.asarray(b1.fill_counts),
+                                  np.asarray(b2.fill_counts))
+    np.testing.assert_allclose(np.asarray(b1.feats), np.asarray(b2.feats),
+                               atol=0)
