@@ -194,3 +194,40 @@ def install_torchvision_shim():
     sys.modules["torchvision.ops"] = ops
     sys.modules["torchvision.ops.boxes"] = boxes_mod
     sys.modules["torchvision.transforms"] = transforms_mod
+
+
+def install_hydra_shim():
+    """Fake hydra/omegaconf so modules importing sam2.build_sam load (its
+    functions are monkeypatched by tests, never actually invoked)."""
+    if "hydra" in sys.modules:
+        return
+    import importlib.machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
+    hydra = _mod("hydra")
+    hydra.compose = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("hydra shim: compose not available"))
+    hydra.initialize_config_module = lambda *a, **k: None
+    hydra_utils = _mod("hydra.utils")
+    hydra_utils.instantiate = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("hydra shim: instantiate not available"))
+    hydra.utils = hydra_utils
+    omegaconf = _mod("omegaconf")
+
+    class _OC:
+        @staticmethod
+        def resolve(cfg):
+            return cfg
+
+        @staticmethod
+        def to_container(cfg, **k):
+            return cfg
+
+    omegaconf.OmegaConf = _OC
+    sys.modules["hydra"] = hydra
+    sys.modules["hydra.utils"] = hydra_utils
+    sys.modules["omegaconf"] = omegaconf
