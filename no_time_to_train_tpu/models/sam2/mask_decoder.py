@@ -195,16 +195,17 @@ class MaskDecoder(nn.Module):
             output_tokens[None], (bs,) + output_tokens.shape)
         tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings],
                                  axis=1)
-        if repeat_image or image_embeddings.shape[0] != bs:
-            src = jnp.broadcast_to(image_embeddings,
-                                   (bs,) + image_embeddings.shape[1:])
-        else:
-            src = image_embeddings
-        src = src + dense_prompt_embeddings
+        # Keep the image side at its own (possibly 1) batch: identical-across-
+        # prompt projections (layer-0 q/k/v on 4096 tokens) are then computed
+        # once and broadcast inside the attention einsums, instead of being
+        # replicated per prompt. The keys diverge naturally after the first
+        # image<-token update.
+        src = image_embeddings + dense_prompt_embeddings
         pos_src = jnp.broadcast_to(image_pe[None], src.shape)
-        b, h, w, c = src.shape
+        h, w, c = src.shape[1:]
         hs, src_out = self.transformer(src, pos_src, tokens,
                                        skip_last_n_keys=skip_last_n_keys)
+        b = bs
         iou_token_out = hs[:, s, :]
         mask_tokens_out = hs[:, s + 1: s + 1 + self.num_mask_tokens, :]
         iou_pred = self.iou_prediction_head(iou_token_out)

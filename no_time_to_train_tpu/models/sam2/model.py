@@ -221,12 +221,15 @@ class SAM2(nn.Module):
                                point_labels, high_res_features=None):
         """Fused grid-decode: best-of-multimask selected inside the decoder
         (see MaskDecoder.predict_best_of_multimask). Returns
-        (mask [B, 4h, 4w] f32, iou [B])."""
-        sparse, dense = self.sam_prompt_encoder(
+        (mask [B, 4h, 4w] f32, iou [B]). The dense (no-mask) embedding stays
+        at batch 1 so the image side of the two-way transformer is shared
+        across prompts until it genuinely diverges."""
+        sparse, _ = self.sam_prompt_encoder(
             points=(point_coords, point_labels))
+        dense1 = self.sam_prompt_encoder.no_mask_dense()
         mask, iou = self.sam_mask_decoder.predict_best_of_multimask(
             backbone_features, self.sam_prompt_encoder.get_dense_pe(),
-            sparse, dense, repeat_image=False,
+            sparse, dense1, repeat_image=False,
             high_res_features=high_res_features)
         return mask.astype(jnp.float32), iou
 

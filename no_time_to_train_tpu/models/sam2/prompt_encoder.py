@@ -44,6 +44,15 @@ class PromptEncoder(nn.Module):
         self.mask_conv3 = nn.Conv(self.embed_dim, (1, 1),
                                   name="mask_downscaling_6", dtype=self.dtype)
 
+    def no_mask_dense(self):
+        """The constant no-mask dense embedding at batch 1 [1, h, w, C] —
+        grid decode keeps the image side un-broadcast so shared projections
+        compute once."""
+        h, w = self.image_embedding_size
+        return jnp.broadcast_to(
+            self.no_mask_embed.reshape(1, 1, 1, -1).astype(self.dtype),
+            (1, h, w, self.embed_dim))
+
     def get_dense_pe(self):
         h, w = self.image_embedding_size
         return random_pe_grid(h, w, self.pe_gaussian).astype(self.dtype)  # [H, W, C]

@@ -168,9 +168,10 @@ class TwoWayTransformer(nn.Module):
                  skip_last_n_keys: int = 0):
         """image_embedding/image_pe: [B, H, W, C] (NHWC); point_embedding
         [B, N, C]. Returns (queries [B, N, C], keys [B, HW, C])."""
-        b, h, w, c = image_embedding.shape
-        keys = image_embedding.reshape(b, h * w, c)
-        key_pe = image_pe.reshape(b, h * w, c) if image_pe.ndim == 4 else image_pe
+        bi, h, w, c = image_embedding.shape
+        keys = image_embedding.reshape(bi, h * w, c)
+        key_pe = image_pe.reshape(image_pe.shape[0], h * w, c) \
+            if image_pe.ndim == 4 else image_pe
 
         queries = point_embedding
         for i in range(self.depth):
