@@ -124,3 +124,90 @@ def test_cli_dotted_override_parsing():
     assert args["ckpt_path"] == "x.ckpt"
     assert ("model.test_mode", "test") in overrides
     assert ("model.init_args.model_cfg.sam2_infer_cfgs.iou_thr", 0.3) in overrides
+
+
+def test_cli_negative_phases(tmp_path, rng):
+    """fill_memory_neg + postprocess_memory_neg + test with negative refs."""
+    import run_lightning
+    from no_time_to_train_tpu.data.few_shot_sampling import sample_memory_dataset
+    from no_time_to_train_tpu.config import presets
+    from no_time_to_train_tpu.config.presets import Sam2Config
+
+    presets.SAM2_PRESETS.setdefault("sam2_tiny_test.yaml", Sam2Config(
+        embed_dim=32, num_heads=1, stages=(1, 1, 1, 1),
+        global_att_blocks=(2,), window_pos_embed_bkg_spatial_size=(2, 2),
+        window_spec=(4, 2, 4, 2), backbone_channel_list=(256, 128, 64, 32),
+        image_size=128))
+    presets.ENCODER_PRESETS.setdefault(
+        "dino_tiny_test", presets.EncoderConfig("dino_tiny_test", 28, 14, 32,
+                                                1, 2, "local"))
+
+    img_dir, json_path = _make_dataset(tmp_path, rng)
+    pkl = str(tmp_path / "m.pkl")
+    neg_pkl = str(tmp_path / "neg.pkl")
+    sample_memory_dataset(json_path, pkl, 2, remove_bad=False, seed=0)
+    sample_memory_dataset(json_path, neg_pkl, 2, remove_bad=False, seed=1)
+
+    cfg = {
+        "seed_everything": 42,
+        "model": {"init_args": {
+            "model_cfg": {
+                "name": "matching_baseline_noAMG",
+                "sam2_cfg_file": "sam2_tiny_test.yaml",
+                "sam2_infer_cfgs": {"points_per_side": 4,
+                                    "testing_point_bs": 8, "iou_thr": 0.0,
+                                    "nms_thr": 0.5, "num_out_instance": 5,
+                                    "kmeans_k": 2, "n_pca_components": 2,
+                                    "cls_num_per_mask": 1,
+                                    "with_negative_refs": True},
+                "encoder_cfg": {"name": "dino_tiny_test"},
+                "memory_bank_cfg": {"enable": True, "category_num": 1,
+                                    "length": 2, "length_negative": 2}},
+            "dataset_cfgs": {
+                "fill_memory": {"name": "coco", "root": img_dir,
+                                "json_file": json_path, "memory_pkl": pkl,
+                                "image_size": 28, "memory_length": 2,
+                                "context_ratio": 0.2, "norm_img": False,
+                                "cat_names": ["person"]},
+                "support": {"name": "coco", "root": img_dir,
+                            "json_file": json_path, "image_size": 128,
+                            "norm_img": False, "cat_names": ["person"]},
+                "test": {"name": "coco", "root": img_dir,
+                         "json_file": json_path, "image_size": 128,
+                         "norm_img": False, "cat_names": ["person"]}},
+            "data_load_cfgs": {"workers": 0}}},
+        "trainer": {"devices": 1},
+    }
+    cfg_path = tmp_path / "cfg_neg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    m1 = str(tmp_path / "m1.ckpt")
+    m2 = str(tmp_path / "m2.ckpt")
+    m3 = str(tmp_path / "m3.ckpt")
+    m4 = str(tmp_path / "m4.ckpt")
+
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "fill_memory",
+                        "--out_path", m1])
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "postprocess_memory",
+                        "--ckpt_path", m1, "--out_path", m2])
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "fill_memory_neg",
+                        "--ckpt_path", m2, "--out_path", m3,
+                        "--out_neg_pkl", neg_pkl,
+                        "--out_neg_json", json_path])
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "postprocess_memory_neg",
+                        "--ckpt_path", m3, "--out_path", m4])
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "test", "--ckpt_path", m4])
+
+    # banks persisted through all phases
+    from no_time_to_train_tpu.utils.checkpoint import load_memory_bank
+    from no_time_to_train_tpu.models.matching import memory_bank as mbx
+    gs = 2
+    b = mbx.create(1, 2, gs * gs, 32, 2, 2)
+    bn = mbx.create(1, 2, gs * gs, 32, 2, 2)
+    b, bn = load_memory_bank(m4, b, bn)
+    assert bool(b.postprocessed) and bool(bn.postprocessed)
+    assert int(np.asarray(bn.fill_counts).sum()) == 2
