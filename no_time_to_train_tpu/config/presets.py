@@ -6,8 +6,8 @@ Replaces the reference's hydra `sam2_configs/*.yaml` `_target_` trees
 and CLI invocations work unchanged. Video-predictor behavioral overrides
 (build_sam.py:57-67) are baked in as fields.
 """
-from dataclasses import dataclass, field, replace
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)

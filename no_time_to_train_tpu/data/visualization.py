@@ -7,7 +7,7 @@ overlays with contours, and the k-means / PCA memory visualizations.
 import os
 
 import numpy as np
-from PIL import Image, ImageDraw, ImageFont
+from PIL import Image, ImageDraw
 
 PALETTES = {
     "coco": [(220, 20, 60), (0, 82, 0), (0, 182, 199), (255, 160, 122),

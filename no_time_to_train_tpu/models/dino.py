@@ -9,8 +9,6 @@ torch-parity bicubic+antialias).
 DINOv3 (RoPE ViT with register tokens) is planned in models/dino_v3.py; the
 presets are registered in config/presets.py.
 """
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

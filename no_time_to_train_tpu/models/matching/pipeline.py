@@ -19,16 +19,13 @@ Key re-designs vs the reference (cited inline):
 
 Phases mirror the reference CLI: fill_memory -> postprocess_memory -> test.
 """
-import functools
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from no_time_to_train_tpu.config.presets import (Sam2Config, EncoderConfig,
-                                                 SAM2_PRESETS, ENCODER_PRESETS)
+from no_time_to_train_tpu.config.presets import SAM2_PRESETS, ENCODER_PRESETS
 from no_time_to_train_tpu.models.sam2.model import SAM2
 from no_time_to_train_tpu.models.dino import DinoV2
 from no_time_to_train_tpu.models.matching import memory_bank as mb

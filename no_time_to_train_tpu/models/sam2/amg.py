@@ -8,8 +8,6 @@ device with validity masks: predicted-IoU threshold, stability score, box NMS.
 Crops (crop_n_layers>0) loop host-side with per-crop device decode and a final
 cross-crop NMS, matching the reference flow (:224-293).
 """
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -4,8 +4,6 @@ Mirrors the semantics of reference sam2/modeling/sam2_utils.py (MLP,
 LayerNorm2d) with TPU-friendly layouts. Parameter names are chosen so that
 torch state dicts convert mechanically (see utils/torch_convert.py).
 """
-from typing import Callable, Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -10,7 +10,7 @@ Design notes (TPU-first):
   - Q-pooling (stage transitions) is a 2x2 max pool fused into the attention
     block, as in the reference (hieradet.py:62-65).
 """
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

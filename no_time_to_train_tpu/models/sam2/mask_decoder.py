@@ -8,15 +8,12 @@ as a constant 10.0 (the MLP head is dead code guarded by `and False`,
 mask_decoder.py:276-281); we reproduce that behavior while still carrying the
 `pred_obj_score_head` parameters for checkpoint compatibility.
 """
-from typing import List, Optional
-
 import jax.numpy as jnp
 import flax.linen as nn
 
 from no_time_to_train_tpu.models.sam2.common import (
     MLP, LayerNorm2d, conv_transpose_2x2_s2, ACT)
 from no_time_to_train_tpu.models.sam2.transformer import TwoWayTransformer
-from no_time_to_train_tpu.ops.resize import resize_hw
 
 
 class MaskDecoder(nn.Module):

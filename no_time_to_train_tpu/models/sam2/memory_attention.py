@@ -2,8 +2,6 @@
 
 Batch-first layout throughout: curr [B, N, C], memory [B, M, mem_dim].
 Dropout is inference-off (the whole NTTT path is training-free)."""
-from typing import Optional
-
 import jax.numpy as jnp
 import flax.linen as nn
 

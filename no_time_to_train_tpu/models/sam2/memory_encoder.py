@@ -1,7 +1,5 @@
 """Memory encoder (reference sam2/modeling/memory_encoder.py, flax NHWC):
 mask downsampler conv pyramid + ConvNeXt fuser + 64-d output projection."""
-from typing import Tuple
-
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -8,8 +8,6 @@ Exposes the pieces the NTTT pipeline needs as flax methods:
 
 All image tensors NHWC; mask logits [B, M, H, W].
 """
-from typing import Optional
-
 import jax.numpy as jnp
 import flax.linen as nn
 

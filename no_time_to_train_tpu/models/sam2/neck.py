@@ -1,6 +1,6 @@
 """FPN neck + image-encoder assembly (reference
 sam2/modeling/backbones/image_encoder.py, NHWC flax rewrite)."""
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

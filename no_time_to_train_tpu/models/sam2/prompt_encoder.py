@@ -5,7 +5,7 @@ embedding tensor with boolean-index adds (:95-100); here the label-conditional
 embeddings are a one-hot matmul so the whole thing vmaps/jits over thousands of
 point prompts with static shapes.
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -16,8 +16,6 @@ decode, matched-IoU targets, L1 loss, grads for the 3 trainable leaves) is
 one jit.
 """
 from dataclasses import dataclass
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -26,7 +24,6 @@ import optax
 
 from no_time_to_train_tpu.models.sam2.model import SAM2
 from no_time_to_train_tpu.models.sam2.common import MLP
-from no_time_to_train_tpu.ops.resize import resize_hw
 from no_time_to_train_tpu.ops.masks import batched_mask_to_box
 from no_time_to_train_tpu.ops.nms import batched_nms, take_first_kept
 

@@ -8,8 +8,6 @@ The XLA path below is fully fused by Mosaic/XLA for the shapes this framework
 uses; a Pallas flash-attention kernel can be swapped in via `impl="pallas"`
 for long-sequence cases (Hiera global blocks at 4096 tokens).
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -18,11 +18,9 @@ import time
 
 import numpy as np
 
-from no_time_to_train_tpu.config.presets import (SAM2_PRESETS, ENCODER_PRESETS,
-                                                 EncoderConfig)
+from no_time_to_train_tpu.config.presets import SAM2_PRESETS, ENCODER_PRESETS
 from no_time_to_train_tpu.data.metainfo import METAINFO
 from no_time_to_train_tpu.data.datasets import (COCOMemoryFillCropDataset,
-                                                COCORefTestDataset,
                                                 COCORefOracleTestDataset)
 from no_time_to_train_tpu.models.matching.pipeline import (NoAMGMatcher,
                                                            MatchingConfig,
