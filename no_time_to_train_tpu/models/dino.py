@@ -6,8 +6,8 @@ resolution (518 for DINOv2: the checkpoint position grid, so no pos-embed
 interpolation on the hot path; `interp_pos_to` supports other sizes with
 torch-parity bicubic+antialias).
 
-DINOv3 (RoPE ViT with register tokens) is planned in models/dino_v3.py; the
-presets are registered in config/presets.py.
+DINOv3 (RoPE ViT with register tokens) lives in models/dino_v3.py; the
+presets for both families are registered in config/presets.py.
 """
 import numpy as np
 import jax
