@@ -63,12 +63,25 @@ def main():
     for i in range(N_WARMUP):
         step(imgs[i % len(imgs)])
 
+    # fenced latency (one image submitted, completion fetched)
     times = []
     for i in range(N_ITERS):
         t0 = time.time()
         out = step(imgs[i % len(imgs)])
         times.append(time.time() - t0)
-    dt = float(np.mean(times))
+    lat = float(np.mean(times))
+
+    # pipelined throughput: the runner overlaps submit/fetch 2-deep
+    # (runner._run_test streams the dataset), so dispatch latency hides
+    # behind device compute — this is the deployed images/sec
+    t0 = time.time()
+    pend = matcher.test_async(imgs[0])
+    for i in range(1, N_ITERS):
+        nxt = matcher.test_async(imgs[i % len(imgs)])
+        np.asarray(pend["scores"])
+        pend = nxt
+    np.asarray(pend["scores"])
+    dt = (time.time() - t0) / N_ITERS
     fps = 1.0 / dt
 
     print(json.dumps({
@@ -78,7 +91,8 @@ def main():
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
     }))
     print(f"# init {init_s:.1f}s, first-step (compile) {compile_s:.1f}s, "
-          f"steady {1000 * dt:.0f} ms/img, dtype={compute_dtype}",
+          f"pipelined {1000 * dt:.0f} ms/img, fenced latency "
+          f"{1000 * lat:.0f} ms/img, dtype={compute_dtype}",
           file=sys.stderr)
 
 

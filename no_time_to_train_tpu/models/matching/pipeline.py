@@ -55,6 +55,10 @@ class MatchingConfig:
     expand_ratio: int = 8
     analysis_res: int = 512              # static res for IoS (see module doc)
     compute_dtype: str = "float32"       # encoders may run bfloat16
+    decoder_impl: str = "dense"          # "dense" (reference-shaped, XLA-fused)
+    # or "factored" (rank-factored image side, models/sam2/factored_decode.py;
+    # measured ~same speed at P=256 on v5e — the [P,n,r] factor traffic offsets
+    # the saved [P,n,C] projections; kept as a verified alternative)
 
 
 def _normalize(img):
@@ -253,11 +257,27 @@ class NoAMGMatcher:
         assert n_pts % chunk == 0
         pts_chunks = pts.reshape(n_pts // chunk, chunk, 1, 2)
 
-        def decode_chunk(pc):
-            labels = jnp.ones((chunk, 1), jnp.int32)
-            return self.sam2.apply(
-                {"params": sam2_params}, feats, pc, labels, hr,
-                method=self.sam2.forward_sam_heads_best)
+        if m.decoder_impl == "factored":
+            from no_time_to_train_tpu.models.sam2.factored_decode import (
+                factored_best_of_multimask)
+
+            def decode_chunk(pc):
+                labels = jnp.ones((chunk, 1), jnp.int32)
+                sparse, dense1, dense_pe = self.sam2.apply(
+                    {"params": sam2_params}, pc, labels,
+                    method=self.sam2.prompt_embeddings)
+                mask, iou = factored_best_of_multimask(
+                    sam2_params["sam_mask_decoder"], feats, dense_pe,
+                    sparse, dense1, hr,
+                    pred_obj_scores=cfg.pred_obj_scores,
+                    iou_use_sigmoid=cfg.iou_prediction_use_sigmoid)
+                return mask.astype(jnp.float32), iou
+        else:
+            def decode_chunk(pc):
+                labels = jnp.ones((chunk, 1), jnp.int32)
+                return self.sam2.apply(
+                    {"params": sam2_params}, feats, pc, labels, hr,
+                    method=self.sam2.forward_sam_heads_best)
 
         n_chunks = n_pts // chunk
         if n_chunks <= 8:

@@ -214,22 +214,67 @@ class MaskDecoder(nn.Module):
              for i in range(self.num_mask_tokens)], axis=1)
         hyper_best = hyper_all[bi, best]                   # [B, C/8]
 
-        src_img = src_out.reshape(b, h, w, c)
-        up = conv_transpose_2x2_s2(src_img, self.upscale_dc1_kernel,
-                                   self.upscale_dc1_bias)
-        if self.use_high_res_features:
-            feat_s0, feat_s1 = high_res_features
-            up = ACT["gelu"](self.upscale_ln(up + feat_s1))
-            up = conv_transpose_2x2_s2(up, self.upscale_dc2_kernel,
-                                       self.upscale_dc2_bias)
-            up = ACT["gelu"](up + feat_s0)
-        else:
-            up = ACT["gelu"](self.upscale_ln(up))
-            up = conv_transpose_2x2_s2(up, self.upscale_dc2_kernel,
-                                       self.upscale_dc2_bias)
-            up = ACT["gelu"](up)
-        mask = jnp.einsum("bc,bhwc->bhw", hyper_best, up)
+        mask = self._upscale_product_unshuffled(src_out, hyper_best, h, w,
+                                                high_res_features)
         return mask, iou_pred[bi, best]
+
+    def _upscale_product_unshuffled(self, src_flat, hyper, h, w,
+                                    high_res_features):
+        """Output upscaling + hypernetwork product without ever leaving the
+        deconv's natural (unshuffled) layout.
+
+        The shuffled formulation (conv_transpose -> subpixel shuffle -> LN ->
+        GELU -> conv_transpose -> product) makes XLA materialize the [B,2H,2W,
+        C/4] intermediate through a strided relayout and lower deconv2+product
+        as a tiny-channel convolution fusion (~8 TFLOP/s measured). Here both
+        deconvs are flat GEMMs with lane-friendly N (256/128); LN/GELU/skip
+        adds run on the GEMM output layout [B,h,w,2,2,C'] (channels-last, so
+        per-pixel stats are unchanged), the skip features are pre-transposed
+        once into that layout, and only the final [B,4h,4w] mask is
+        re-ordered. Every value equals the shuffled path bit-for-bit: same
+        dot products, same per-pixel LN vectors, only row order differs."""
+        b = src_flat.shape[0]
+        d = self.transformer_dim
+        c1, c2 = d // 4, d // 8
+
+        k1 = self.upscale_dc1_kernel.transpose(0, 2, 3, 1).reshape(d, 4 * c1)
+        t1 = jnp.dot(src_flat.reshape(b * h * w, d), k1.astype(src_flat.dtype),
+                     preferred_element_type=src_flat.dtype)
+        t1 = (t1.reshape(b, h, w, 2, 2, c1)
+              + self.upscale_dc1_bias.astype(t1.dtype))
+
+        if high_res_features is not None:
+            feat_s0, feat_s1 = high_res_features
+            # [1, 2h, 2w, c1] -> (y, dy1, x, dx1, c1) -> (y, x, dy1, dx1, c1)
+            s1u = feat_s1.reshape(-1, h, 2, w, 2, c1).transpose(0, 1, 3, 2, 4, 5)
+            t1 = self.upscale_ln(t1 + s1u)
+        else:
+            t1 = self.upscale_ln(t1)
+        u = ACT["gelu"](t1)
+
+        # Second deconv + GELU + skip-add + hypernetwork product: left in the
+        # einsum form XLA fuses into ONE convolution fusion per chunk (GEMM +
+        # epilogue, nothing materialized). A hand-separated lane-full [*, 128]
+        # GEMM formulation was tried and measured SLOWER (the [B,hw4,128]
+        # intermediate and the gelu/product each materialized ~1GB/chunk);
+        # keeping the 8-d einsum lets the compiler keep it all in VMEM.
+        k2 = self.upscale_dc2_kernel.transpose(0, 2, 3, 1).reshape(c1, 4 * c2)
+        t2 = jnp.dot(u.reshape(b * h * w * 4, c1), k2.astype(u.dtype),
+                     preferred_element_type=u.dtype)
+        # output pixel (4y + 2*dy1 + dy2, 4x + 2*dx1 + dx2)
+        t2 = (t2.reshape(b, h, w, 2, 2, 2, 2, c2)
+              + self.upscale_dc2_bias.astype(t2.dtype))
+        if high_res_features is not None:
+            # [1, 4h, 4w, c2] -> (y, dy1, dy2, x, dx1, dx2, c) -> match t2
+            s0u = feat_s0.reshape(-1, h, 2, 2, w, 2, 2, c2)
+            s0u = s0u.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+            t2 = t2 + s0u
+        g = ACT["gelu"](t2)
+
+        mask_u = jnp.einsum("bc,byxpqrsc->byxpqrs", hyper, g)
+        # (b, y, x, dy1, dx1, dy2, dx2) -> (b, y, dy1, dy2, x, dx1, dx2)
+        mask = mask_u.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, 4 * h, 4 * w)
+        return mask
 
     def __call__(self, image_embeddings, image_pe, sparse_prompt_embeddings,
                  dense_prompt_embeddings, multimask_output, repeat_image,

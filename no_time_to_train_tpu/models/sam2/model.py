@@ -215,6 +215,15 @@ class SAM2(nn.Module):
         return (low_res_masks, high_res_masks, ious, obj_ptr,
                 object_score_logits)
 
+    def prompt_embeddings(self, point_coords, point_labels):
+        """Prompt-encoder outputs for the factored grid decoder (see
+        models/sam2/factored_decode.py): (sparse [B, Ts, C],
+        no-mask dense [1, h, w, C], dense positional encoding [h, w, C])."""
+        sparse, _ = self.sam_prompt_encoder(
+            points=(point_coords, point_labels))
+        return (sparse, self.sam_prompt_encoder.no_mask_dense(),
+                self.sam_prompt_encoder.get_dense_pe())
+
     def forward_sam_heads_best(self, backbone_features, point_coords,
                                point_labels, high_res_features=None):
         """Fused grid-decode: best-of-multimask selected inside the decoder

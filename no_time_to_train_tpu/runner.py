@@ -72,7 +72,7 @@ def get_dataset(dataset_cfg, stage):
 
 class MatcherRunner:
     def __init__(self, model_cfg, dataset_cfgs, data_load_cfgs=None,
-                 test_mode="none", seed=42, devices=1):
+                 test_mode="none", seed=42, devices=1, save_dir="."):
         model_cfg = copy.deepcopy(model_cfg)
         dataset_cfgs = copy.deepcopy(dataset_cfgs)
         model_cfg, dataset_cfgs = _apply_dotted_hacks(model_cfg, dataset_cfgs)
@@ -80,6 +80,7 @@ class MatcherRunner:
         self.model_cfg = model_cfg
         self.dataset_cfgs = dataset_cfgs
         self.data_load_cfgs = data_load_cfgs or {}
+        self.save_dir = save_dir
 
         name = model_cfg.get("name", "matching_baseline_noAMG").lower()
         assert name == "matching_baseline_noamg", name
@@ -240,7 +241,9 @@ class MatcherRunner:
             print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
 
             if self.scalars_queue:
-                with open("scalars_all.pkl", "wb") as f:
+                os.makedirs(self.save_dir, exist_ok=True)
+                with open(os.path.join(self.save_dir,
+                                       "scalars_all.pkl"), "wb") as f:
                     pickle.dump(self.scalars_queue, f)
             results_unpacked = []
             for r in self.output_queue:
@@ -271,7 +274,7 @@ class MatcherRunner:
         return None
 
 
-    def _write_metrics_csv(self, stats, times_np, path="metrics_log.csv"):
+    def _write_metrics_csv(self, stats, times_np, path=None):
         """CSV metrics record (replaces the reference's Lightning CSVLogger,
         new_exps/*.yaml:59-63)."""
         import csv
@@ -283,6 +286,9 @@ class MatcherRunner:
                 row[f"{iou_type}_AP"] = float(st[0])
                 row[f"{iou_type}_AP50"] = float(st[1])
                 row[f"{iou_type}_AP75"] = float(st[2])
+        if path is None:
+            os.makedirs(self.save_dir, exist_ok=True)
+            path = os.path.join(self.save_dir, "metrics_log.csv")
         write_header = not os.path.exists(path)
         with open(path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(row))

@@ -108,10 +108,17 @@ def main(argv=None):
 
     seed = int(args.get("seed") or cfg.get("seed_everything", 42))
 
-    devices = int(cfg.get("trainer", {}).get("devices", 1) or 1)
+    trainer_cfg = cfg.get("trainer", {})
+    devices = int(trainer_cfg.get("devices", 1) or 1)
+    logger_cfg = trainer_cfg.get("logger") or {}
+    if "init_args" in logger_cfg:       # Lightning class_path/init_args form
+        logger_cfg = logger_cfg["init_args"] or {}
+    save_dir = (logger_cfg.get("save_dir")
+                or trainer_cfg.get("logger.save_dir") or ".")
     from no_time_to_train_tpu.runner import MatcherRunner
     runner = MatcherRunner(model_cfg, dataset_cfgs, data_load_cfgs,
-                           test_mode=test_mode, seed=seed, devices=devices)
+                           test_mode=test_mode, seed=seed, devices=devices,
+                           save_dir=save_dir)
 
     output_name = ""
     if args.get("coco_semantic_split"):
