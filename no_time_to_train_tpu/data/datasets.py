@@ -288,6 +288,14 @@ class COCORefTestDataset:
             print("No results to evaluate.")
             return None
         coco_results = self.coco.loadRes(results)
+        if self.class_split == "default_classes":
+            # reference runs tidecv BOX+MASK for the full-class split
+            # (coco_ref_dataset.py:638-648); native equivalent in data/tide.py
+            try:
+                from no_time_to_train_tpu.data.tide import evaluate_tide
+                evaluate_tide(self.coco, results)
+            except Exception as e:   # error analysis is advisory only
+                print(f"TIDE analysis skipped: {e}")
         stats = {}
         for iou_type in ("bbox", "segm"):
             ev = COCOeval(self.coco, coco_results, iou_type)

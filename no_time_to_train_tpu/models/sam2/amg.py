@@ -67,7 +67,8 @@ class SAM2AutomaticMaskGenerator:
                  mask_threshold=0.0, box_nms_thresh=0.7, crop_n_layers=0,
                  crop_nms_thresh=0.7, crop_overlap_ratio=512 / 1500,
                  crop_n_points_downscale_factor=1, min_mask_region_area=0,
-                 output_mode="binary_mask", multimask_output=True, **kwargs):
+                 output_mode="binary_mask", multimask_output=True,
+                 use_m2m=False, **kwargs):
         self.model = model
         self.params = params
         self.point_grids = build_all_layer_point_grids(
@@ -84,6 +85,7 @@ class SAM2AutomaticMaskGenerator:
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
         self.multimask_output = multimask_output
+        self.use_m2m = use_m2m
         self._jit_decode = jax.jit(self._decode_impl,
                                    static_argnames=("n_points",))
 
@@ -125,6 +127,28 @@ class SAM2AutomaticMaskGenerator:
             ious = ious4[..., 0:1].reshape(-1)
         n_cand = masks.shape[0]
         valid = (jnp.arange(n_cand) // m) < n_points
+
+        if self.use_m2m:
+            # one refinement step: re-prompt each candidate with its point +
+            # its low-res mask, single-mask output (reference
+            # automatic_mask_generator.py:330-351, refine_with_m2m :437-454);
+            # the iou/stability filters below then act on the refined masks
+            pts_cand = jnp.repeat(pts.reshape(-1, 2), m, axis=0)
+            n_rchunks = n_cand // chunk
+            r_pts = pts_cand.reshape(n_rchunks, chunk, 1, 2)
+            r_lr = masks.reshape(n_rchunks, chunk, *masks.shape[-2:])
+
+            def refine_chunk(args):
+                pc, lr = args
+                labels = jnp.ones((chunk, 1), jnp.int32)
+                rm, ri, _, _ = self.model.apply(
+                    {"params": params}, feats, pc, labels, lr[..., None],
+                    hr, False, True, method=self.model.forward_sam_heads)
+                return rm[:, 0].astype(jnp.float32), ri[:, 0]
+
+            masks, ious = jax.lax.map(refine_chunk, (r_pts, r_lr))
+            masks = masks.reshape(n_cand, *masks.shape[-2:])
+            ious = ious.reshape(-1)
 
         keep = valid
         if self.pred_iou_thresh > 0:

@@ -72,3 +72,18 @@ def test_amg_small_region_postprocess(tiny_model, rng):
          "crop_box": [0, 0, 32, 32]}])
     out = recs[0]["segmentation"]
     assert out[8, 8] and not out[28, 28]
+
+
+def test_amg_generate_m2m(tiny_model, rng):
+    """use_m2m refinement path (reference automatic_mask_generator.py:330-351):
+    one extra single-mask decode per candidate, filters act on refined masks."""
+    from no_time_to_train_tpu.models.sam2.amg import SAM2AutomaticMaskGenerator
+    model, params = tiny_model
+    amg = SAM2AutomaticMaskGenerator(
+        model, params, points_per_side=4, points_per_batch=8,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0, use_m2m=True)
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    recs = amg.generate(img)
+    assert isinstance(recs, list)
+    for r in recs:
+        assert r["segmentation"].shape == (64, 64)

@@ -92,3 +92,56 @@ def test_matches_pycocotools_if_available():
     ours = rle_mod.encode_mask(m)
     theirs = pm.encode(np.asfortranarray(m.astype(np.uint8)))
     assert ours["counts"] == theirs["counts"].decode()
+
+
+def test_tide_error_analysis(tmp_path):
+    """TIDE-style taxonomy (data/tide.py): synthetic GT with known TP / Cls /
+    Loc / Bkg / Dupe / Miss detections classify correctly."""
+    import json
+    from no_time_to_train_tpu.data.coco_api import COCO
+    from no_time_to_train_tpu.data.tide import tide_errors
+
+    gt = {
+        "images": [{"id": 1, "height": 100, "width": 100,
+                    "file_name": "a.jpg"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0,
+             "segmentation": [[10, 10, 30, 10, 30, 30, 10, 30]]},
+            {"id": 2, "image_id": 1, "category_id": 2,
+             "bbox": [60, 60, 20, 20], "area": 400, "iscrowd": 0,
+             "segmentation": [[60, 60, 80, 60, 80, 80, 60, 80]]},
+            {"id": 3, "image_id": 1, "category_id": 1,
+             "bbox": [40, 5, 10, 10], "area": 100, "iscrowd": 0,
+             "segmentation": [[40, 5, 50, 5, 50, 15, 40, 15]]},
+        ],
+        "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+    }
+    p = tmp_path / "gt.json"
+    p.write_text(json.dumps(gt))
+    coco = COCO(str(p))
+
+    results = [
+        # exact TP on gt1
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20],
+         "score": 0.9},
+        # duplicate of the TP (lower score)
+        {"image_id": 1, "category_id": 1, "bbox": [11, 11, 20, 20],
+         "score": 0.8},
+        # wrong class on gt2 -> Cls
+        {"image_id": 1, "category_id": 1, "bbox": [60, 60, 20, 20],
+         "score": 0.7},
+        # right class, mislocalized vs gt1 (IoU ~0.23) -> Loc
+        {"image_id": 1, "category_id": 1, "bbox": [20, 20, 20, 20],
+         "score": 0.6},
+        # nowhere near anything -> Bkg
+        {"image_id": 1, "category_id": 2, "bbox": [0, 80, 10, 10],
+         "score": 0.5},
+    ]
+    c = tide_errors(coco, results, mode="bbox")
+    assert c["TP"] == 1
+    assert c["Dupe"] == 1
+    assert c["Cls"] == 1
+    assert c["Loc"] == 1
+    assert c["Bkg"] == 1
+    assert c["Miss"] == 1          # gt3 untouched
