@@ -17,6 +17,15 @@ __all__ = ["sdpa"]
 def _xla_sdpa(q, k, v, mask=None):
     # q,k,v: [..., heads, N, D] — same layout as torch SDPA
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], q.dtype))
+    if mask is None and k.shape[-2] <= 32 and q.shape[-2] >= 4 * k.shape[-2]:
+        # tiny key set (image->token cross-attention: Nk ~ 8 prompt tokens vs
+        # Nq = 4096 image tokens): keep Nq on the lane axis and softmax over
+        # the SUBLANE axis — an Nk-minor [.., Nq, 8] layout pads 8 lanes to
+        # 128 (16x elementwise/reduce traffic, profiled). Same ops transposed.
+        logits = jnp.einsum("...kd,...qd->...kq", k, q) * scale
+        probs = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-2).astype(q.dtype)
+        return jnp.einsum("...kq,...kd->...qd", probs, v)
     logits = jnp.einsum("...qd,...kd->...qk", q, k) * scale
     if mask is not None:
         big_neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
