@@ -225,6 +225,15 @@ class NoAMGMatcher:
         target = self.bank if positive else self.bank_neg
         updated = mb.fill(target, jnp.asarray(cat_inds, jnp.int32), feats,
                           masks)
+        # the reference raises IndexError when more refs than memory_length
+        # arrive for a class; JAX scatter would silently drop the write, so
+        # fail loudly host-side instead (matching_baseline_utils.py:578 slot
+        # indexing semantics).
+        max_count = int(np.asarray(updated.fill_counts).max())
+        if max_count > updated.feats.shape[1]:
+            raise IndexError(
+                f"memory bank overflow: a class received {max_count} "
+                f"references but memory_length={updated.feats.shape[1]}")
         if positive:
             self.bank = updated
         else:

@@ -45,24 +45,31 @@ def make_mesh(devices=None, axis="data"):
 def make_data_parallel_test(matcher, mesh):
     """Returns a jitted fn(imgs [B, S, S, 3]) -> batched result dict with B =
     mesh size, inputs/outputs sharded over the data axis, params and memory
-    bank replicated."""
+    bank replicated.
+
+    Params and the bank travel as ARGUMENTS of the jitted shard_map fn
+    (replicated specs), mirroring matcher._test_jit: closing over them would
+    bake the 1-2GB trees into the program as constants and freeze the bank at
+    first trace (stale results after a later fill/postprocess/load_ckpt)."""
     n = mesh.devices.size
 
-    def per_device(img_shard):
-        bank_neg = (matcher.bank_neg if matcher.bank_neg is not None
-                    else matcher.bank)
-        out = matcher._test_impl(matcher.sam2_params, matcher.dino_params,
-                                 matcher.bank, bank_neg,
+    def per_device(sam2_params, dino_params, bank, bank_neg, img_shard):
+        out = matcher._test_impl(sam2_params, dino_params, bank, bank_neg,
                                  img_shard[0],
                                  with_negative=matcher.matching.with_negative_refs)
         return jax.tree.map(lambda x: x[None], out)
 
-    fn = shard_map(per_device, mesh, in_specs=P("data"), out_specs=P("data"))
+    fn = shard_map(per_device, mesh,
+                   in_specs=(P(), P(), P(), P(), P("data")),
+                   out_specs=P("data"))
     jfn = jax.jit(fn)
 
     def run(imgs):
         assert imgs.shape[0] == n, f"batch {imgs.shape[0]} != mesh size {n}"
-        return jfn(imgs)
+        bank_neg = (matcher.bank_neg if matcher.bank_neg is not None
+                    else matcher.bank)
+        return jfn(matcher.sam2_params, matcher.dino_params, matcher.bank,
+                   bank_neg, imgs)
 
     return run
 
@@ -73,19 +80,20 @@ def make_data_parallel_fill(matcher, mesh):
     apply the same bank update."""
     n = mesh.devices.size
 
-    def per_device(cats, imgs, msks):
-        feats, m = matcher._fill_features(matcher.dino_params, imgs, msks)
+    def per_device(dino_params, cats, imgs, msks):
+        feats, m = matcher._fill_features(dino_params, imgs, msks)
         g = partial(jax.lax.all_gather, axis_name="data", tiled=True)
         return g(cats), g(feats), g(m)
 
     fn = shard_map(per_device, mesh,
-                   in_specs=(P("data"), P("data"), P("data")),
+                   in_specs=(P(), P("data"), P("data"), P("data")),
                    out_specs=(P(), P(), P()), check_vma=False)
     jfn = jax.jit(fn)
 
     def run(cat_inds, imgs, masks):
         assert imgs.shape[0] == n
-        cats, feats, msks = jfn(jnp.asarray(cat_inds, jnp.int32),
+        cats, feats, msks = jfn(matcher.dino_params,
+                                jnp.asarray(cat_inds, jnp.int32),
                                 jnp.asarray(imgs), jnp.asarray(masks))
         from no_time_to_train_tpu.models.matching import memory_bank as mb
         matcher.bank = mb.fill(matcher.bank, cats, feats, msks)

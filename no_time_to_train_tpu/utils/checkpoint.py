@@ -92,12 +92,23 @@ def load_memory_bank(path, bank, bank_neg=None):
     """Restore bank pytrees from a phase checkpoint (ours or the reference's
     Lightning .ckpt)."""
     import jax.numpy as jnp
-    try:
-        import torch
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
-        state = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
-                 for k, v in ckpt["state_dict"].items()}
-    except (ImportError, pickle.UnpicklingError):
+    import zipfile
+    # A checkpoint written by the pickle fallback (torch absent at save time)
+    # is not a torch zip archive; torch.load's legacy loader raises
+    # RuntimeError / BadZipFile on it, so sniff the format first.
+    is_torch_zip = zipfile.is_zipfile(path)
+    state = None
+    if is_torch_zip:
+        try:
+            import torch
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            state = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+                     for k, v in ckpt["state_dict"].items()}
+        except ImportError:
+            raise RuntimeError(
+                f"{path} is a torch-format checkpoint but torch is not "
+                "installed; cannot load it")
+    if state is None:
         with open(path, "rb") as f:
             state = pickle.load(f)["state_dict"]
 

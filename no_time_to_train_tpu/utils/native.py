@@ -24,12 +24,19 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, "libnttt.so")
-    if not os.path.exists(so):
+    src = os.path.join(_NATIVE_DIR, "nttt_native.cpp")
+    stale = (os.path.exists(src) and
+             (not os.path.exists(so)
+              or os.path.getmtime(src) > os.path.getmtime(so)))
+    if stale:
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
+    if not os.path.exists(so):
+        return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
