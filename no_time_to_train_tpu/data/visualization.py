@@ -87,14 +87,25 @@ def vis_results_online(output, tar_anns_by_cat, ori_hw, img_path, out_dir,
                        score_thr=0.5, show_scores=True, dataset_name=None,
                        class_names=None):
     """Reference matching_baseline_utils.vis_results_online (:753-829):
-    render one image's predictions vs GT to results_analysis/<dataset>/."""
+    render one image's predictions vs GT to results_analysis/<dataset>/.
+
+    tar_anns_by_cat carries GT at the square model input size; predictions
+    are at the original size — GT boxes/masks are rescaled to ori_hw here."""
+    ori_h, ori_w = ori_hw
     gt_masks, gt_boxes, gt_labels = [], [], []
     for cat_ind, e in (tar_anns_by_cat or {}).items():
         for j in range(len(e.get("bboxes", []))):
-            gt_boxes.append(np.asarray(e["bboxes"][j]))
+            box = np.asarray(e["bboxes"][j], np.float64)
+            s = e["masks"][j].shape[-1] if "masks" in e else None
+            if s:
+                box = box * np.array([ori_w / s, ori_h / s] * 2)
+            gt_boxes.append(box)
             gt_labels.append(cat_ind)
             if "masks" in e:
-                gt_masks.append(np.asarray(e["masks"][j]))
+                m = Image.fromarray(
+                    (np.asarray(e["masks"][j]) > 0.5).astype(np.uint8) * 255)
+                gt_masks.append(
+                    np.asarray(m.resize((ori_w, ori_h), Image.NEAREST)) > 0)
     out_path = os.path.join(out_dir, os.path.basename(img_path))
     return vis_coco(gt_boxes, gt_labels, gt_masks, output["scores"],
                     output["labels"], output["bboxes"],

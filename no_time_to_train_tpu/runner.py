@@ -130,8 +130,11 @@ class MatcherRunner:
         self.devices = int(devices)
         self.output_queue = []
         self.scalars_queue = []
+        self.triplets_queue = []
         self.time_queue = []
         self.eval_dataset = None
+        self.online_vis = bool(model_cfg.get("online_vis", False))
+        self.vis_thr = float(model_cfg.get("vis_thr", 0.5))
 
     # ----------------------------------------------------------------- phases
     def load_ckpt(self, ckpt_path):
@@ -201,6 +204,12 @@ class MatcherRunner:
             futures = [pool.submit(ds.__getitem__, i)
                        for i in range(min(2, len(ds)))]
 
+            vis_dir = None
+            if self.online_vis:
+                vis_dir = os.path.join("./results_analysis",
+                                       stage_cfg.get("name", "coco"))
+                os.makedirs(vis_dir, exist_ok=True)
+
             def finalize(item, device_out, dt):
                 self.time_queue.append(dt)
                 raw = self.matcher.fetch_test(device_out)
@@ -211,9 +220,20 @@ class MatcherRunner:
                                labels=fin["labels"], boxes=fin["bboxes"],
                                masks=fin["binary_masks"])
                 self.output_queue.append(ds.encode_results([per_img]))
-                self.scalars_queue.append(
-                    dict(scores=fin["scores"], labels=fin["labels"],
-                         pred_ious=raw.get("pred_ious"), valid=raw["valid"]))
+                self._queue_scalars(item, raw, fin)
+                if vis_dir is not None:
+                    from no_time_to_train_tpu.data.visualization import (
+                        vis_results_online)
+                    out = dict(scores=fin["scores"], labels=fin["labels"],
+                               bboxes=fin["bboxes"],
+                               binary_masks=fin["binary_masks"])
+                    vis_results_online(
+                        out, item.get("tar_anns_by_cat"),
+                        (info["ori_height"], info["ori_width"]),
+                        os.path.join(ds.root, info["file_name"]), vis_dir,
+                        score_thr=self.vis_thr,
+                        dataset_name=stage_cfg.get("name"),
+                        class_names=ds.cat_names)
 
             pending = None  # (item, device_out, dt)
             for i in range(len(ds)):
@@ -245,6 +265,11 @@ class MatcherRunner:
                 with open(os.path.join(self.save_dir,
                                        "scalars_all.pkl"), "wb") as f:
                     pickle.dump(self.scalars_queue, f)
+            if self.triplets_queue:
+                os.makedirs(self.save_dir, exist_ok=True)
+                with open(os.path.join(self.save_dir,
+                                       "triplets_all.pkl"), "wb") as f:
+                    pickle.dump(self.triplets_queue, f)
             results_unpacked = []
             for r in self.output_queue:
                 results_unpacked.extend(r)
@@ -273,6 +298,50 @@ class MatcherRunner:
             raise NotImplementedError(f"Unrecognized test mode {mode}")
         return None
 
+
+    def _queue_scalars(self, item, raw, fin):
+        """Score dumps for the offline analysis layer (reference
+        run_lightning.py:163-168 + tools/analysis_scripts/*):
+
+        scalars_all.pkl rows [sim, category, oracle_iou, mem_ins_sim] and
+        triplets_all.pkl rows [sim, pred_iou, oracle_iou], one array per
+        image. Oracle IoU (best IoU vs a same-class GT instance) is computed
+        at the low-res mask resolution from the Oracle dataset's GT; without
+        GT (plain test dataset) oracle columns are NaN."""
+        n = len(fin["scores"])
+        if n == 0:
+            return
+        cats = np.asarray(fin["labels"], np.int64)
+        sims = np.asarray(fin["scores"], np.float64)
+        pred_ious = np.asarray(raw["pred_ious"][:n], np.float64)
+        anns = item.get("tar_anns_by_cat")
+        oracle = np.full(n, np.nan)
+        if anns is not None:
+            lr = np.asarray(raw["lr_logits"][:n], np.float32)
+            lr_res = lr.shape[-1]
+            pred = (lr > 0).reshape(n, -1)
+            gt_small = {}
+            for cat_ind, e in anns.items():
+                ms = np.asarray(e["masks"])
+                step = max(1, ms.shape[-1] // lr_res)
+                gt_small[cat_ind] = (
+                    ms[:, ::step, ::step][:, :lr_res, :lr_res] > 0.5
+                ).reshape(ms.shape[0], -1)
+            for i in range(n):
+                g = gt_small.get(int(cats[i]))
+                if g is None:
+                    oracle[i] = 0.0
+                    continue
+                inter = (pred[i][None] & g).sum(1)
+                union = (pred[i][None] | g).sum(1)
+                oracle[i] = float(
+                    (inter / np.maximum(union, 1)).max())
+        ins_sim = np.asarray(self.matcher.bank.ins_sim_avg, np.float64)
+        self.scalars_queue.append(
+            np.stack([sims, cats.astype(np.float64), oracle,
+                      ins_sim[cats]], axis=1))
+        self.triplets_queue.append(np.stack([sims, pred_ious, oracle],
+                                            axis=1))
 
     def _write_metrics_csv(self, stats, times_np, path=None):
         """CSV metrics record (replaces the reference's Lightning CSVLogger,

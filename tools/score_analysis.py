@@ -15,7 +15,21 @@ import numpy as np
 
 def load_scalars(path):
     with open(path, "rb") as f:
-        return pickle.load(f)
+        data = pickle.load(f)
+    if data and not isinstance(data[0], dict):
+        # runner array format: scalars [sim, cat, oracle, mem_ins_sim] or
+        # triplets [sim, pred_iou, oracle] -> adapt to the dict view
+        out = []
+        for arr in data:
+            arr = np.asarray(arr)
+            trip = arr.shape[1] == 3
+            out.append(dict(
+                scores=arr[:, 0],
+                labels=(np.zeros(len(arr)) if trip else arr[:, 1]).astype(int),
+                pred_ious=arr[:, 1] if trip else arr[:, 3],
+                valid=np.ones(len(arr), bool)))
+        return out
+    return data
 
 
 def correlation_report(scalars):
