@@ -229,3 +229,73 @@ def sam_bbox_to_segm_batch(json_path, img_root, out_json, predictor,
     with open(out_json, "w") as f:
         json.dump(data, f)
     return data
+
+
+def strip_filename_dirs(json_paths, out_paths):
+    """reference change_filename_pascal.py: rewrite every image file_name to
+    its basename (VOC jsons carry 'VOC2007/JPEGImages/xxx.jpg' paths; the
+    flat-layout loaders want 'xxx.jpg')."""
+    outs = []
+    for path, out_path in zip(json_paths, out_paths):
+        with open(path) as f:
+            data = json.load(f)
+        for img in data["images"]:
+            img["file_name"] = img["file_name"].split("/")[-1]
+        with open(out_path, "w") as f:
+            json.dump(data, f)
+        outs.append(data)
+    return outs
+
+
+def coco_zeroshot_split_export(train_json, val_json, out_dir):
+    """reference cd_vito_paper_coco_zeroshot_categories.py (main block):
+    filter COCO train/val annotations down to the 48-seen / 17-unseen OVD
+    split and write the six ovd_ins_{train,val}2017_{b,t,all} jsons. Each
+    kept category record gains a 'split' field ('seen'/'unseen')."""
+    seen = set(METAINFO["coco_zeroshot_seen"])
+    unseen = set(METAINFO["coco_zeroshot_unseen"])
+
+    def load(path):
+        with open(path) as f:
+            return json.load(f)
+
+    def split_of(cat):
+        name = cat["name"]
+        if name in seen:
+            return "seen"
+        if name in unseen:
+            return "unseen"
+        return None
+
+    def filter_annotation(anno, split_names):
+        id_to_split = {c["id"]: split_of(c) for c in anno["categories"]}
+        cats = []
+        for c in anno["categories"]:
+            if id_to_split[c["id"]] in split_names:
+                c = dict(c, split=id_to_split[c["id"]])
+                cats.append(c)
+        anno["categories"] = cats
+        keep_ids = {c["id"] for c in cats}
+        anns = [a for a in anno["annotations"]
+                if a["category_id"] in keep_ids]
+        useful = {a["image_id"] for a in anns}
+        anno["annotations"] = anns
+        anno["images"] = [im for im in anno["images"] if im["id"] in useful]
+        return anno
+
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = [
+        (train_json, ("seen",), "ovd_ins_train2017_b.json"),
+        (train_json, ("unseen",), "ovd_ins_train2017_t.json"),
+        (train_json, ("seen", "unseen"), "ovd_ins_train2017_all.json"),
+        (val_json, ("seen",), "ovd_ins_val2017_b.json"),
+        (val_json, ("unseen",), "ovd_ins_val2017_t.json"),
+        (val_json, ("seen", "unseen"), "ovd_ins_val2017_all.json"),
+    ]
+    outs = []
+    for src, split_names, fname in jobs:
+        anno = filter_annotation(load(src), split_names)
+        with open(os.path.join(out_dir, fname), "w") as f:
+            json.dump(anno, f)
+        outs.append(fname)
+    return outs

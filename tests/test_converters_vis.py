@@ -132,3 +132,46 @@ def test_video_loader(tmp_path, rng):
                                      async_loading_frames=True)
     assert isinstance(loader, AsyncVideoFrameLoader)
     assert loader[2].shape == (16, 16, 3)
+
+
+def test_strip_filename_dirs(tmp_path):
+    """reference change_filename_pascal.py: file_name -> basename."""
+    data = {"images": [{"id": 1, "file_name": "VOC2007/JPEGImages/a.jpg"},
+                       {"id": 2, "file_name": "b.jpg"}],
+            "annotations": [], "categories": []}
+    src = tmp_path / "long.json"
+    src.write_text(json.dumps(data))
+    dst = tmp_path / "short.json"
+    converters.strip_filename_dirs([str(src)], [str(dst)])
+    out = json.loads(dst.read_text())
+    assert [im["file_name"] for im in out["images"]] == ["a.jpg", "b.jpg"]
+
+
+def test_coco_zeroshot_split_export(tmp_path):
+    """reference cd_vito_paper_coco_zeroshot_categories.py: the six
+    ovd_ins_* jsons with seen/unseen filtering + split tags."""
+    cats = [{"id": 1, "name": "person"},      # seen
+            {"id": 16, "name": "cat"},        # unseen
+            {"id": 10, "name": "traffic light"}]  # neither (dropped)
+    data = {"images": [{"id": i, "file_name": f"{i}.jpg"} for i in (1, 2, 3)],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 1},
+                {"id": 2, "image_id": 2, "category_id": 16},
+                {"id": 3, "image_id": 3, "category_id": 10}],
+            "categories": cats}
+    src = tmp_path / "instances.json"
+    src.write_text(json.dumps(data))
+    out_dir = tmp_path / "ovd"
+    names = converters.coco_zeroshot_split_export(str(src), str(src),
+                                                  str(out_dir))
+    assert len(names) == 6
+    b = json.loads((out_dir / "ovd_ins_train2017_b.json").read_text())
+    t = json.loads((out_dir / "ovd_ins_val2017_t.json").read_text())
+    al = json.loads((out_dir / "ovd_ins_train2017_all.json").read_text())
+    assert [c["name"] for c in b["categories"]] == ["person"]
+    assert b["categories"][0]["split"] == "seen"
+    assert [im["id"] for im in b["images"]] == [1]
+    assert [c["name"] for c in t["categories"]] == ["cat"]
+    assert t["categories"][0]["split"] == "unseen"
+    assert {c["name"] for c in al["categories"]} == {"person", "cat"}
+    assert len(al["annotations"]) == 2  # traffic light dropped everywhere
