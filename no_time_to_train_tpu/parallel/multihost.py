@@ -1,0 +1,106 @@
+"""Multi-host (multi-process) data parallelism skeleton.
+
+The reference runs Lightning DDP across processes: a padded
+DistributedSampler deals the eval dataset round-robin to ranks, each rank
+pickles its results into a shared tmpdir, `dist.barrier()` synchronizes, and
+rank 0 interleave-merges + truncates (reference run_lightning.py:23-78,
+`collect_results_cpu`; sharding semantics of
+torch.utils.data.DistributedSampler with shuffle=False).
+
+TPU-native mapping (SURVEY §2.5): `jax.distributed.initialize` + a global
+device mesh for the collectives, while RESULT collection stays host-side —
+exactly like the reference — via a shared-filesystem gather (every TPU pod
+deployment has one). The barrier is a file-existence wait: rank files are
+written atomically (tmp + rename), so a complete set of part files IS the
+barrier. Single-process runs short-circuit everywhere (num_processes=1),
+mirroring the reference's `dist.is_initialized()` guards.
+
+Environment contract (mirrors `torchrun`'s):
+  NTTT_NUM_PROCESSES / NTTT_PROCESS_ID / NTTT_COORDINATOR — or pass
+  explicitly. `initialize()` is idempotent and a no-op for world size 1.
+"""
+import os
+import pickle
+import time
+
+from no_time_to_train_tpu.parallel.mesh import interleave_results
+
+
+def env_world():
+    """(num_processes, process_id) from the environment; (1, 0) default."""
+    return (int(os.environ.get("NTTT_NUM_PROCESSES", "1")),
+            int(os.environ.get("NTTT_PROCESS_ID", "0")))
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """jax.distributed.initialize for multi-host meshes (replaces the
+    reference's NCCL/torch.distributed init, run_lightning.py:12 +
+    Lightning DDP). No-op when world size is 1 or when already initialized.
+
+    Returns (num_processes, process_id)."""
+    env_n, env_r = env_world()
+    n = num_processes if num_processes is not None else env_n
+    r = process_id if process_id is not None else env_r
+    if n <= 1:
+        return 1, 0
+    import jax
+    coord = coordinator_address or os.environ.get("NTTT_COORDINATOR")
+    try:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=n, process_id=r)
+    except RuntimeError as e:  # already initialized — idempotent re-entry
+        if "already" not in str(e).lower():
+            raise
+    return n, r
+
+
+def process_shard_indices(n_items, num_processes, process_id):
+    """Padded round-robin shard: the exact index assignment of the
+    reference's DistributedSampler(shuffle=False) — indices padded by
+    wrapping to a multiple of world size, then dealt rank::world_size.
+    The pad guarantees every rank runs the same step count (the collective
+    lockstep the reference relies on); `collect_results` truncates the
+    duplicates back out (run_lightning.py:74-75)."""
+    idx = list(range(n_items))
+    if num_processes <= 1:
+        return idx
+    total = -(-n_items // num_processes) * num_processes
+    idx = idx + idx[:total - n_items]
+    return idx[process_id::num_processes]
+
+
+def _part_path(gather_dir, process_id):
+    return os.path.join(gather_dir, f"part_{process_id}.pkl")
+
+
+def save_rank_results(gather_dir, process_id, results):
+    """Atomically publish this rank's result list (reference
+    run_lightning.py:56-57, per-rank pickle dump). The rename is the
+    completion signal other ranks wait on."""
+    os.makedirs(gather_dir, exist_ok=True)
+    tmp = _part_path(gather_dir, process_id) + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(results, f)
+    os.replace(tmp, _part_path(gather_dir, process_id))
+
+
+def collect_results(gather_dir, num_processes, total, timeout_s=600.0,
+                    poll_s=0.2):
+    """Rank-0 gather: wait for all part files (the reference's
+    dist.barrier, run_lightning.py:59), load them in rank order, and
+    reproduce the interleaved merge + pad truncation (:61-75)."""
+    paths = [_part_path(gather_dir, r) for r in range(num_processes)]
+    deadline = time.time() + timeout_s
+    while not all(os.path.exists(p) for p in paths):
+        if time.time() > deadline:
+            missing = [p for p in paths if not os.path.exists(p)]
+            raise TimeoutError(f"multihost gather: missing {missing}")
+        time.sleep(poll_s)
+    parts = []
+    for p in paths:
+        with open(p, "rb") as f:
+            parts.append(pickle.load(f))
+    # ranks may have unequal *real* content but equal padded length; the
+    # interleave assumes the padded round-robin deal of
+    # process_shard_indices
+    return interleave_results(parts, total)

@@ -199,10 +199,22 @@ class MatcherRunner:
             if self.devices > 1 and len(jax.devices()) >= self.devices:
                 return self._run_test_data_parallel(ds, export_result,
                                                     output_name)
+            # multi-host (multi-process) data parallelism: padded round-robin
+            # shard + shared-filesystem gather, reference Lightning-DDP
+            # semantics (run_lightning.py:23-78, DistributedSampler deal)
+            from no_time_to_train_tpu.parallel import multihost
+            n_proc, proc_id = multihost.env_world()
+            if n_proc > 1 and os.environ.get("NTTT_COORDINATOR"):
+                # a global device mesh (cross-host collectives) needs
+                # jax.distributed; the result gather itself is filesystem-
+                # based and runs without it, like the reference's tmpdir
+                # pickle gather (run_lightning.py:23-78)
+                multihost.initialize()
+            indices = multihost.process_shard_indices(len(ds), n_proc,
+                                                      proc_id)
             workers = max(1, int(self.data_load_cfgs.get("workers", 0)) or 1)
             pool = ThreadPoolExecutor(max_workers=workers)
-            futures = [pool.submit(ds.__getitem__, i)
-                       for i in range(min(2, len(ds)))]
+            futures = [pool.submit(ds.__getitem__, j) for j in indices[:2]]
 
             vis_dir = None
             if self.online_vis:
@@ -236,10 +248,11 @@ class MatcherRunner:
                         class_names=ds.cat_names)
 
             pending = None  # (item, device_out, dt)
-            for i in range(len(ds)):
+            for pos in range(len(indices)):
                 item = futures.pop(0).result()
-                if i + 2 < len(ds):
-                    futures.append(pool.submit(ds.__getitem__, i + 2))
+                if pos + 2 < len(indices):
+                    futures.append(pool.submit(ds.__getitem__,
+                                               indices[pos + 2]))
                 t0 = time.time()
                 out = self.matcher.test_async(item["target_img"])
                 if pending is not None:
@@ -247,8 +260,8 @@ class MatcherRunner:
                 np.asarray(out["scores"])  # completion fence (timed like the
                 dt = time.time() - t0      # reference's synchronized forward)
                 pending = (item, out, dt)
-                if progress and (i + 1) % 20 == 0:
-                    print(f"test {i + 1}/{len(ds)}")
+                if progress and (pos + 1) % 20 == 0:
+                    print(f"test {pos + 1}/{len(indices)}")
             if pending is not None:
                 finalize(*pending)
             pool.shutdown()
@@ -271,8 +284,21 @@ class MatcherRunner:
                                        "triplets_all.pkl"), "wb") as f:
                     pickle.dump(self.triplets_queue, f)
             results_unpacked = []
-            for r in self.output_queue:
-                results_unpacked.extend(r)
+            if n_proc > 1:
+                # per-rank publish + rank-0 interleaved merge (reference
+                # collect_results_cpu, run_lightning.py:23-78)
+                gather_dir = os.path.join(self.save_dir, "multihost_gather")
+                multihost.save_rank_results(gather_dir, proc_id,
+                                            self.output_queue)
+                if proc_id != 0:
+                    return None
+                merged = multihost.collect_results(gather_dir, n_proc,
+                                                   len(ds))
+                for r in merged:
+                    results_unpacked.extend(r)
+            else:
+                for r in self.output_queue:
+                    results_unpacked.extend(r)
             if export_result:
                 with open(export_result, "w") as f:
                     json.dump(results_unpacked, f)

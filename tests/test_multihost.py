@@ -1,0 +1,167 @@
+"""Multi-host data parallelism (reference Lightning-DDP semantics:
+DistributedSampler round-robin deal + collect_results_cpu interleaved merge,
+run_lightning.py:23-78). Two simulated processes share a gather dir; merged
+results must equal the single-process order exactly."""
+import json
+import sys
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+sys.path.insert(0, "/root/repo")
+
+from no_time_to_train_tpu.parallel import multihost
+
+
+def test_shard_indices_round_robin():
+    """Padded round-robin deal: exactly DistributedSampler(shuffle=False)."""
+    # 7 items over 3 ranks -> padded to 9 by wrapping
+    shards = [multihost.process_shard_indices(7, 3, r) for r in range(3)]
+    assert shards[0] == [0, 3, 6]
+    assert shards[1] == [1, 4, 0]   # wrapped pad
+    assert shards[2] == [2, 5, 1]
+    # equal step count per rank (collective lockstep)
+    assert len({len(s) for s in shards}) == 1
+    # world size 1: identity
+    assert multihost.process_shard_indices(5, 1, 0) == [0, 1, 2, 3, 4]
+
+
+def test_gather_interleave_matches_sequential(tmp_path):
+    """Per-rank publish + rank-0 merge reproduces dataset order with pad
+    truncation (reference run_lightning.py:61-75)."""
+    n, world = 10, 4
+    expect = [f"res_{i}" for i in range(n)]
+    for r in range(world):
+        shard = multihost.process_shard_indices(n, world, r)
+        multihost.save_rank_results(str(tmp_path), r,
+                                    [f"res_{i}" for i in shard])
+    merged = multihost.collect_results(str(tmp_path), world, n, timeout_s=5)
+    assert merged == expect
+
+
+def test_gather_timeout(tmp_path):
+    multihost.save_rank_results(str(tmp_path), 0, ["a"])
+    with pytest.raises(TimeoutError):
+        multihost.collect_results(str(tmp_path), 2, 1, timeout_s=0.3)
+
+
+def test_env_world(monkeypatch):
+    assert multihost.env_world() == (1, 0)
+    monkeypatch.setenv("NTTT_NUM_PROCESSES", "4")
+    monkeypatch.setenv("NTTT_PROCESS_ID", "2")
+    assert multihost.env_world() == (4, 2)
+
+
+def test_initialize_single_process_noop():
+    assert multihost.initialize(num_processes=1, process_id=0) == (1, 0)
+
+
+@pytest.fixture(scope="module")
+def tiny_cli_setup(tmp_path_factory):
+    """Tiny synthetic COCO dataset + filled/postprocessed memory ckpt
+    (mirrors tests/test_runner_multidevice.py)."""
+    tmp_path = tmp_path_factory.mktemp("mh")
+    rng = np.random.default_rng(7)
+    import run_lightning
+    from no_time_to_train_tpu.data.few_shot_sampling import (
+        sample_memory_dataset)
+    from no_time_to_train_tpu.config import presets
+    from no_time_to_train_tpu.config.presets import Sam2Config
+
+    presets.SAM2_PRESETS.setdefault("sam2_tiny_test.yaml", Sam2Config(
+        embed_dim=32, num_heads=1, stages=(1, 1, 1, 1),
+        global_att_blocks=(2,), window_pos_embed_bkg_spatial_size=(2, 2),
+        window_spec=(4, 2, 4, 2), backbone_channel_list=(256, 128, 64, 32),
+        image_size=128))
+    presets.ENCODER_PRESETS.setdefault(
+        "dino_tiny_test", presets.EncoderConfig("dino_tiny_test", 28, 14, 32,
+                                                1, 2, "local"))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, anns = [], []
+    for i in range(5):
+        arr = (rng.random((80, 96, 3)) * 60).astype(np.uint8)
+        arr[10:58, 14:62] = [210, 60, 60]
+        Image.fromarray(arr).save(img_dir / f"{i:04d}.png")
+        images.append({"id": i + 1, "height": 80, "width": 96,
+                       "file_name": f"{i:04d}.png"})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [14, 10, 48, 48], "area": 48 * 48.0,
+                     "iscrowd": 0,
+                     "segmentation": [[14, 10, 62, 10, 62, 58, 14, 58]]})
+    data = {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "person"}]}
+    json_path = tmp_path / "ann.json"
+    json_path.write_text(json.dumps(data))
+    pkl = str(tmp_path / "m.pkl")
+    sample_memory_dataset(str(json_path), pkl, 2, remove_bad=False, seed=0)
+
+    cfg = {
+        "seed_everything": 42,
+        "model": {"init_args": {
+            "model_cfg": {
+                "name": "matching_baseline_noAMG",
+                "sam2_cfg_file": "sam2_tiny_test.yaml",
+                "sam2_infer_cfgs": {"points_per_side": 4,
+                                    "testing_point_bs": 8, "iou_thr": 0.0,
+                                    "nms_thr": 0.5, "num_out_instance": 5,
+                                    "kmeans_k": 2, "n_pca_components": 2,
+                                    "cls_num_per_mask": 1},
+                "encoder_cfg": {"name": "dino_tiny_test"},
+                "memory_bank_cfg": {"enable": True, "category_num": 1,
+                                    "length": 2}},
+            "dataset_cfgs": {
+                "fill_memory": {"name": "coco", "root": str(img_dir),
+                                "json_file": str(json_path),
+                                "memory_pkl": pkl, "image_size": 28,
+                                "memory_length": 2, "context_ratio": 0.2,
+                                "norm_img": False, "cat_names": ["person"]},
+                "test": {"name": "coco", "root": str(img_dir),
+                         "json_file": str(json_path), "image_size": 128,
+                         "norm_img": False, "cat_names": ["person"]}},
+            "data_load_cfgs": {"workers": 0}}},
+        "trainer": {"devices": 1},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    mem, post = str(tmp_path / "m.ckpt"), str(tmp_path / "p.ckpt")
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "fill_memory",
+                        "--out_path", mem])
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "postprocess_memory",
+                        "--ckpt_path", mem, "--out_path", post])
+    return tmp_path, str(cfg_path), post
+
+
+def test_cli_two_process_test_matches_single(tiny_cli_setup, monkeypatch):
+    """Two simulated ranks produce byte-identical merged results (and
+    order) to the single-process run."""
+    import run_lightning
+    tmp_path, cfg_path, post = tiny_cli_setup
+
+    single = tmp_path / "single.json"
+    run_lightning.main(["test", "--config", cfg_path,
+                        "--model.test_mode", "test", "--ckpt_path", post,
+                        "--export_result", str(single)])
+
+    merged = tmp_path / "merged.json"
+    monkeypatch.setenv("NTTT_NUM_PROCESSES", "2")
+    monkeypatch.chdir(tmp_path)  # shared save_dir "." -> gather dir
+    # rank 1 first: publishes its part and returns without evaluating;
+    # rank 0 then merges both parts (the wait is the barrier)
+    for rank in ("1", "0"):
+        monkeypatch.setenv("NTTT_PROCESS_ID", rank)
+        run_lightning.main(["test", "--config", cfg_path,
+                            "--model.test_mode", "test",
+                            "--ckpt_path", post,
+                            "--export_result", str(merged)])
+    monkeypatch.delenv("NTTT_NUM_PROCESSES")
+    monkeypatch.delenv("NTTT_PROCESS_ID")
+
+    got = json.loads(merged.read_text())
+    expect = json.loads(single.read_text())
+    assert got == expect
