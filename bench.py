@@ -43,7 +43,16 @@ def main():
     from no_time_to_train_tpu.models.matching import memory_bank as mb
 
     compute_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
-    matching = MatchingConfig(compute_dtype=compute_dtype)
+    attention_impl = "pallas" if "--attention-impl=pallas" in sys.argv else "xla"
+    decoder_impl = "factored" if "--decoder-impl=factored" in sys.argv \
+        else "dense"
+    batch = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
+    matching = MatchingConfig(compute_dtype=compute_dtype,
+                              attention_impl=attention_impl,
+                              decoder_impl=decoder_impl)
     t0 = time.time()
     matcher = NoAMGMatcher("sam2_hiera_l.yaml", "dinov2_large", matching,
                            n_classes=20, memory_length=10)
@@ -52,11 +61,17 @@ def main():
     init_s = time.time() - t0
 
     rng = np.random.default_rng(0)
-    imgs = [jax.device_put(rng.random((1024, 1024, 3), np.float32))
-            for _ in range(3)]
+    if batch == 1:
+        imgs = [jax.device_put(rng.random((1024, 1024, 3), np.float32))
+                for _ in range(3)]
+        submit = matcher.test_async
+    else:
+        imgs = [jax.device_put(rng.random((batch, 1024, 1024, 3), np.float32))
+                for _ in range(3)]
+        submit = matcher.test_batch_async
 
     def step(img):
-        out = matcher.test_async(img)
+        out = submit(img)
         np.asarray(out["scores"])  # forces completion (tiny transfer)
         return out
 
@@ -72,19 +87,19 @@ def main():
         t0 = time.time()
         out = step(imgs[i % len(imgs)])
         times.append(time.time() - t0)
-    lat = float(np.mean(times))
+    lat = float(np.mean(times)) / batch
 
     # pipelined throughput: the runner overlaps submit/fetch 2-deep
     # (runner._run_test streams the dataset), so dispatch latency hides
     # behind device compute — this is the deployed images/sec
     t0 = time.time()
-    pend = matcher.test_async(imgs[0])
+    pend = submit(imgs[0])
     for i in range(1, N_ITERS):
-        nxt = matcher.test_async(imgs[i % len(imgs)])
+        nxt = submit(imgs[i % len(imgs)])
         np.asarray(pend["scores"])
         pend = nxt
     np.asarray(pend["scores"])
-    dt = (time.time() - t0) / N_ITERS
+    dt = (time.time() - t0) / N_ITERS / batch
     fps = 1.0 / dt
 
     print(json.dumps({
@@ -95,7 +110,9 @@ def main():
     }))
     print(f"# init {init_s:.1f}s, first-step (compile) {compile_s:.1f}s, "
           f"pipelined {1000 * dt:.0f} ms/img, fenced latency "
-          f"{1000 * lat:.0f} ms/img, dtype={compute_dtype}",
+          f"{1000 * lat:.0f} ms/img, dtype={compute_dtype}, "
+          f"attention={attention_impl}, decoder={decoder_impl}, "
+          f"batch={batch}",
           file=sys.stderr)
 
 

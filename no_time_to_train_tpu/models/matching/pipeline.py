@@ -59,6 +59,10 @@ class MatchingConfig:
     # or "factored" (rank-factored image side, models/sam2/factored_decode.py;
     # measured ~same speed at P=256 on v5e — the [P,n,r] factor traffic offsets
     # the saved [P,n,C] projections; kept as a verified alternative)
+    attention_impl: str = "xla"          # "xla" or "pallas": SDPA backend for
+    # long-sequence attention (Hiera global blocks, decoder image side) —
+    # the reference's first-class flash-attn toggle
+    # (sam2/modeling/sam/transformer.py:23-41). See ops/attention.py.
 
 
 def _normalize(img):
@@ -149,6 +153,8 @@ class NoAMGMatcher:
         self.matching = matching
         from no_time_to_train_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
+        from no_time_to_train_tpu.ops.attention import set_default_impl
+        set_default_impl(matching.attention_impl)
         dtype = jnp.dtype(matching.compute_dtype)
         self.sam2 = SAM2(self.sam2_cfg, dtype=dtype)
         if self.enc_cfg.family == "dinov3":

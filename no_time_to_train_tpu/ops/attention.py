@@ -11,7 +11,27 @@ for long-sequence cases (Hiera global blocks at 4096 tokens).
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sdpa"]
+__all__ = ["sdpa", "set_default_impl", "get_default_impl"]
+
+# Backend policy, selected like the reference's global SDPA kernel context
+# (sam2/modeling/sam/transformer.py:23-41 enables/disables flash per process):
+# "xla" (default) or "pallas". Under "pallas" the Pallas flash kernel is used
+# for long-sequence unmasked attention (Hiera global blocks, decoder
+# image-side); short token-side attentions always stay on the fused XLA path
+# (flash tiling needs N >= 2*block). Set BEFORE the first trace of a model —
+# it is baked into the jitted program, exactly like the torch context.
+_DEFAULT_IMPL = "xla"
+_PALLAS_MIN_Q = 512  # below this, blocks don't tile / XLA fusion wins
+
+
+def set_default_impl(impl):
+    global _DEFAULT_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _DEFAULT_IMPL = impl
+
+
+def get_default_impl():
+    return _DEFAULT_IMPL
 
 
 def _xla_sdpa(q, k, v, mask=None):
@@ -34,10 +54,18 @@ def _xla_sdpa(q, k, v, mask=None):
     return jnp.einsum("...qk,...kd->...qd", probs, v)
 
 
-def sdpa(q, k, v, mask=None, impl="xla"):
+def sdpa(q, k, v, mask=None, impl=None):
     """Attention over [..., heads, N, D]. `mask` is broadcastable to
-    [..., heads, Nq, Nk] with True = attend (torch bool attn_mask semantics)."""
-    if impl == "pallas":
+    [..., heads, Nq, Nk] with True = attend (torch bool attn_mask semantics).
+
+    impl=None follows the process default (set_default_impl); "pallas"
+    routes long unmasked sequences through the flash kernel and everything
+    else through XLA."""
+    if impl is None:
+        impl = _DEFAULT_IMPL
+    if (impl == "pallas" and mask is None
+            and q.shape[-2] >= _PALLAS_MIN_Q and k.shape[-2] >= _PALLAS_MIN_Q
+            and jax.default_backend() != "cpu"):
         from no_time_to_train_tpu.ops.flash_attention import flash_sdpa
         return flash_sdpa(q, k, v, mask=mask)
     return _xla_sdpa(q, k, v, mask)

@@ -107,6 +107,8 @@ class MatcherRunner:
             cls_num_per_mask=int(infer.get("cls_num_per_mask", 1)),
             with_negative_refs=bool(infer.get("with_negative_refs", False)),
             compute_dtype=str(infer.get("compute_dtype", "float32")),
+            decoder_impl=str(infer.get("decoder_impl", "dense")),
+            attention_impl=str(infer.get("attention_impl", "xla")),
         )
 
         sam2_cfg_file = model_cfg.get("sam2_cfg_file", "sam2_hiera_l.yaml")

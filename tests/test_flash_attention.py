@@ -78,3 +78,60 @@ def _interp_flash_bh(q, k, v, block_q, block_k):
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=True,
     )(q, k, v)
+
+
+def test_default_impl_routing(monkeypatch, rng):
+    """set_default_impl('pallas') routes long unmasked sequences through the
+    flash kernel and short/masked ones through XLA (VERDICT r1 #3 wiring)."""
+    from no_time_to_train_tpu.ops import attention as att
+
+    calls = []
+
+    def fake_flash(q, k, v, mask=None):
+        calls.append(q.shape)
+        return att._xla_sdpa(q, k, v, mask)
+
+    monkeypatch.setattr(fa, "flash_sdpa", fake_flash)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    att.set_default_impl("pallas")
+    try:
+        q_long = jnp.asarray(rng.standard_normal((1, 2, 1024, 32)),
+                             jnp.float32)
+        q_short = jnp.asarray(rng.standard_normal((4, 2, 8, 32)), jnp.float32)
+        att.sdpa(q_long, q_long, q_long)          # routes to pallas
+        att.sdpa(q_short, q_short, q_short)       # stays XLA (tiny N)
+        att.sdpa(q_long, q_long, q_long,
+                 mask=jnp.ones((1, 1, 1024, 1024), bool))  # masked -> XLA
+        att.sdpa(q_long, q_long, q_long, impl="xla")        # explicit XLA
+        assert calls == [(1, 2, 1024, 32)]
+    finally:
+        att.set_default_impl("xla")
+    # default restored
+    att.sdpa(q_long, q_long, q_long)
+    assert calls == [(1, 2, 1024, 32)]
+
+
+def test_matching_config_sets_attention_impl():
+    from no_time_to_train_tpu.ops import attention as att
+    from no_time_to_train_tpu.models.matching.pipeline import MatchingConfig
+    assert MatchingConfig().attention_impl == "xla"
+    assert att.get_default_impl() == "xla"
+
+
+def test_flash_sdpa_tpu_parity(rng):
+    """Compiled (non-interpret) kernel vs XLA on the real TPU (the conftest
+    pins the default device to CPU, so target the TPU explicitly)."""
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU device available")
+    dev = tpus[0]
+    q = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 4, 2048, 64)) * 0.3, jnp.bfloat16), dev)
+    k = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 4, 2048, 64)) * 0.3, jnp.bfloat16), dev)
+    v = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 4, 2048, 64)) * 0.3, jnp.bfloat16), dev)
+    # computation follows the committed device of the args
+    out = np.asarray(jax.jit(fa.flash_sdpa)(q, k, v), np.float32)
+    ref = np.asarray(jax.jit(_xla_sdpa)(q, k, v), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
