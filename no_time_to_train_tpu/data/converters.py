@@ -152,18 +152,32 @@ def sample_sub_dataset(json_path, out_json, n_images, seed=0):
 
 
 def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
-                           confidence_threshold=0.5, class_split=None):
+                           confidence_threshold=0.5, class_split=None,
+                           img_ids=None):
     """reference coco_inst_to_segm.py: convert instance predictions and GT to
-    per-image semantic masks, report per-class IoU + mIoU."""
+    per-image SEMANTIC LABEL MAPS (one class index per pixel; instances are
+    painted sequentially — preds in descending-score order, GTs in annotation
+    order — so the last paint wins on overlap, exactly the reference's
+    COCOInstToSegmEvaluator:60-95), then report per-class IoU + mIoU.
+
+    img_ids optionally restricts the evaluation to a subset of images (the
+    reference passes the evaluated query ids in the SAM3 few-shot notebook).
+    """
     with open(gt_json_path) as f:
         gt = json.load(f)
     with open(pred_json_path) as f:
         preds = json.load(f)
     cat_names = METAINFO[class_split] if class_split else \
         [c["name"] for c in gt["categories"]]
-    cat_ids = [c["id"] for c in gt["categories"] if c["name"] in cat_names]
+    cat_ids = sorted(c["id"] for c in gt["categories"]
+                     if c["name"] in cat_names)
     cat_set = set(cat_ids)
+    # index 0 = background, classes mapped to 1..N (reference :18-20)
+    cat_to_idx = {c: i + 1 for i, c in enumerate(cat_ids)}
     sizes = {im["id"]: (im["height"], im["width"]) for im in gt["images"]}
+    if img_ids is not None:
+        keep = set(img_ids)
+        sizes = {i: s for i, s in sizes.items() if i in keep}
 
     gt_by_img = defaultdict(list)
     for a in gt["annotations"]:
@@ -178,24 +192,26 @@ def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
     inter = {c: 0 for c in cat_ids}
     union = {c: 0 for c in cat_ids}
     from no_time_to_train_tpu.data.coco_api import rasterize_polygons
+
+    def _gt_mask(a, h, w):
+        seg = a["segmentation"]
+        if isinstance(seg, list):
+            return rasterize_polygons(seg, h, w).astype(bool)
+        return rle_mod.decode_rle(seg).astype(bool)
+
     for img_id, (h, w) in sizes.items():
+        gm = np.zeros((h, w), np.uint8)
+        for a in gt_by_img.get(img_id, []):
+            gm[_gt_mask(a, h, w)] = cat_to_idx[a["category_id"]]
+        pm = np.zeros((h, w), np.uint8)
+        for p in sorted(pred_by_img.get(img_id, []),
+                        key=lambda x: x["score"], reverse=True):
+            m = rle_mod.decode_rle(p["segmentation"]).astype(bool)
+            pm[m] = cat_to_idx[p["category_id"]]
         for c in cat_ids:
-            gm = np.zeros((h, w), bool)
-            for a in gt_by_img.get(img_id, []):
-                if a["category_id"] != c:
-                    continue
-                seg = a["segmentation"]
-                if isinstance(seg, list):
-                    gm |= rasterize_polygons(seg, h, w).astype(bool)
-                else:
-                    gm |= rle_mod.decode_rle(seg).astype(bool)
-            pm = np.zeros((h, w), bool)
-            for p in pred_by_img.get(img_id, []):
-                if p["category_id"] != c:
-                    continue
-                pm |= rle_mod.decode_rle(p["segmentation"]).astype(bool)
-            inter[c] += int((gm & pm).sum())
-            union[c] += int((gm | pm).sum())
+            i = cat_to_idx[c]
+            inter[c] += int(((gm == i) & (pm == i)).sum())
+            union[c] += int(((gm == i) | (pm == i)).sum())
     per_class = {c: (inter[c] / union[c] if union[c] else float("nan"))
                  for c in cat_ids}
     vals = [v for v in per_class.values() if not np.isnan(v)]

@@ -72,3 +72,33 @@ class LVISEval(COCOeval):
             print(f" {k:>5s} = {v:0.3f}")
         self.stats = stats
         return stats
+
+
+def main(argv=None):
+    """CLI: evaluate an exported results json against an LVIS-format GT json
+    (the step the reference runs via the external `lvis` package after
+    scripts/lvis pipelines export results)."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="LVIS evaluation")
+    p.add_argument("--gt", required=True, help="LVIS GT json")
+    p.add_argument("--results", required=True, help="detections json")
+    p.add_argument("--iou-type", default="segm", choices=("bbox", "segm"))
+    a = p.parse_args(argv)
+
+    gt = COCO(a.gt)
+    with open(a.results) as f:
+        dets = json.load(f)
+    if not dets:
+        print("No results to evaluate.")
+        return None
+    dt = gt.loadRes(dets)
+    ev = LVISEval(gt, dt, a.iou_type)
+    ev.evaluate()
+    ev.accumulate()
+    return ev.summarize()
+
+
+if __name__ == "__main__":
+    main()

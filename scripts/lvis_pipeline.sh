@@ -46,3 +46,9 @@ python run_lightning.py test --config $CONFIG \
     --model.init_args.dataset_cfgs.test.json_file $TEST_JSON \
     --model.init_args.dataset_cfgs.test.class_split $SPLIT \
     --export_result $OUT/results.json
+
+# LVIS evaluation (maxDets=300, APr/APc/APf buckets) on the exported results
+python -m no_time_to_train_tpu.data.lvis_eval \
+    --gt $TEST_JSON --results $OUT/results.json --iou-type segm
+python -m no_time_to_train_tpu.data.lvis_eval \
+    --gt $TEST_JSON --results $OUT/results.json --iou-type bbox
