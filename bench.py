@@ -47,12 +47,16 @@ def main():
     decoder_impl = "factored" if "--decoder-impl=factored" in sys.argv \
         else "dense"
     batch = 1
+    point_bs = 256
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
+        if a.startswith("--point-bs="):
+            point_bs = int(a.split("=")[1])
     matching = MatchingConfig(compute_dtype=compute_dtype,
                               attention_impl=attention_impl,
-                              decoder_impl=decoder_impl)
+                              decoder_impl=decoder_impl,
+                              testing_point_bs=point_bs)
     t0 = time.time()
     matcher = NoAMGMatcher("sam2_hiera_l.yaml", "dinov2_large", matching,
                            n_classes=20, memory_length=10)
@@ -112,7 +116,7 @@ def main():
           f"pipelined {1000 * dt:.0f} ms/img, fenced latency "
           f"{1000 * lat:.0f} ms/img, dtype={compute_dtype}, "
           f"attention={attention_impl}, decoder={decoder_impl}, "
-          f"batch={batch}",
+          f"batch={batch}, point_bs={point_bs}",
           file=sys.stderr)
 
 

@@ -175,3 +175,20 @@ def test_coco_zeroshot_split_export(tmp_path):
     assert t["categories"][0]["split"] == "unseen"
     assert {c["name"] for c in al["categories"]} == {"person", "cat"}
     assert len(al["annotations"]) == 2  # traffic light dropped everywhere
+
+
+def test_plot_reference_images(tmp_path, rng):
+    from tools.make_plots.plot_reference_images import plot_reference_images
+    p, data = _toy_coco(tmp_path, n_imgs=3)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for im in data["images"]:
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                        ).save(img_dir / im["file_name"])
+    out = plot_reference_images(p, str(img_dir), str(tmp_path / "out"))
+    assert len(out) == 3
+    assert Image.open(out[0]).size == (32 * 2 + 5, 32)
+    # gallery restriction (grid_images_plot path)
+    out2 = plot_reference_images(p, str(img_dir), str(tmp_path / "out2"),
+                                 file_names={"1.png"})
+    assert len(out2) == 1 and out2[0].endswith("ref_1.png")
