@@ -68,6 +68,31 @@ class LayerNorm2d(nn.Module):
         return _layer_norm(x, weight, bias, self.eps, self.dtype)
 
 
+class LayerNorm2dP(nn.Module):
+    """LayerNorm2d with explicit `features` and setup-declared params, so a
+    parent module can read `.weight`/`.bias` directly (the mask decoder's
+    fused Pallas upscale path needs the raw arrays without tracing a call).
+    Same param tree and semantics as LayerNorm2d."""
+    features: int
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.ones,
+                                 (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self, x):
+        return _layer_norm(x, self.weight, self.bias, self.eps, self.dtype)
+
+
+class LayerNormP(LayerNorm2dP):
+    """torch-eps LayerNormP: setup-declared params (readable as `.weight` /
+    `.bias` without tracing a call — used by the fused decoder kernels)."""
+    eps: float = 1e-5
+
+
 class LayerNorm(nn.Module):
     """torch-eps LayerNorm (default eps 1e-5 unless overridden)."""
     eps: float = 1e-5

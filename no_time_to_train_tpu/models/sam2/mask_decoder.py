@@ -8,11 +8,12 @@ as a constant 10.0 (the MLP head is dead code guarded by `and False`,
 mask_decoder.py:276-281); we reproduce that behavior while still carrying the
 `pred_obj_score_head` parameters for checkpoint compatibility.
 """
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from no_time_to_train_tpu.models.sam2.common import (
-    MLP, LayerNorm2d, conv_transpose_2x2_s2, ACT)
+    MLP, LayerNorm2dP, conv_transpose_2x2_s2, ACT)
 from no_time_to_train_tpu.models.sam2.transformer import TwoWayTransformer
 
 
@@ -59,7 +60,8 @@ class MaskDecoder(nn.Module):
             (d, d // 4, 2, 2))
         self.upscale_dc1_bias = self.param(
             "output_upscaling_0_bias", nn.initializers.zeros, (d // 4,))
-        self.upscale_ln = LayerNorm2d(name="output_upscaling_1", dtype=self.dtype)
+        self.upscale_ln = LayerNorm2dP(d // 4, name="output_upscaling_1",
+                                       dtype=self.dtype)
         self.upscale_dc2_kernel = self.param(
             "output_upscaling_3_weight", nn.initializers.lecun_normal(),
             (d // 4, d // 8, 2, 2))
@@ -236,44 +238,48 @@ class MaskDecoder(nn.Module):
         b = src_flat.shape[0]
         d = self.transformer_dim
         c1, c2 = d // 4, d // 8
+        hw = h * w
 
+        # First deconv as ONE lane-full GEMM [b*hw, d] @ [d, 4*c1] — cols
+        # (dy1, dx1, c1). The raw (bias-free) output feeds the fused kernel.
         k1 = self.upscale_dc1_kernel.transpose(0, 2, 3, 1).reshape(d, 4 * c1)
-        t1 = jnp.dot(src_flat.reshape(b * h * w, d), k1.astype(src_flat.dtype),
+        t1 = jnp.dot(src_flat.reshape(b * hw, d), k1.astype(src_flat.dtype),
                      preferred_element_type=src_flat.dtype)
-        t1 = (t1.reshape(b, h, w, 2, 2, c1)
-              + self.upscale_dc1_bias.astype(t1.dtype))
+        t1 = t1.reshape(b, hw, 4 * c1)
+        bias1_4 = jnp.tile(self.upscale_dc1_bias, 4)
 
         if high_res_features is not None:
             feat_s0, feat_s1 = high_res_features
-            # [1, 2h, 2w, c1] -> (y, dy1, x, dx1, c1) -> (y, x, dy1, dx1, c1)
-            s1u = feat_s1.reshape(-1, h, 2, w, 2, c1).transpose(0, 1, 3, 2, 4, 5)
-            t1 = self.upscale_ln(t1 + s1u)
+            # [1, 2h, 2w, c1] -> (y, dy1, x, dx1, c1) -> rows (y, x), cols
+            # (dy1, dx1, c1)
+            s1f = feat_s1.reshape(h, 2, w, 2, c1).transpose(0, 2, 1, 3, 4) \
+                .reshape(hw, 4 * c1)
+            # [1, 4h, 4w, c2] -> (y, dy1, dy2, x, dx1, dx2, c2) -> rows
+            # (y, x), cols (dy1, dx1, dy2, dx2, c2)
+            s0f16 = feat_s0.reshape(h, 2, 2, w, 2, 2, c2) \
+                .transpose(0, 3, 1, 4, 2, 5, 6).reshape(hw, 16 * c2)
         else:
-            t1 = self.upscale_ln(t1)
-        u = ACT["gelu"](t1)
+            s1f = jnp.zeros((hw, 4 * c1), t1.dtype)
+            s0f16 = jnp.zeros((hw, 16 * c2), t1.dtype)
 
-        # Second deconv + GELU + skip-add + hypernetwork product: left in the
-        # einsum form XLA fuses into ONE convolution fusion per chunk (GEMM +
-        # epilogue, nothing materialized). A hand-separated lane-full [*, 128]
-        # GEMM formulation was tried and measured SLOWER (the [B,hw4,128]
-        # intermediate and the gelu/product each materialized ~1GB/chunk);
-        # keeping the 8-d einsum lets the compiler keep it all in VMEM.
         k2 = self.upscale_dc2_kernel.transpose(0, 2, 3, 1).reshape(c1, 4 * c2)
-        t2 = jnp.dot(u.reshape(b * h * w * 4, c1), k2.astype(u.dtype),
-                     preferred_element_type=u.dtype)
-        # output pixel (4y + 2*dy1 + dy2, 4x + 2*dx1 + dx2)
-        t2 = (t2.reshape(b, h, w, 2, 2, 2, 2, c2)
-              + self.upscale_dc2_bias.astype(t2.dtype))
-        if high_res_features is not None:
-            # [1, 4h, 4w, c2] -> (y, dy1, dy2, x, dx1, dx2, c) -> match t2
-            s0u = feat_s0.reshape(-1, h, 2, 2, w, 2, 2, c2)
-            s0u = s0u.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-            t2 = t2 + s0u
-        g = ACT["gelu"](t2)
+        ln = self.upscale_ln.variables["params"]
 
-        mask_u = jnp.einsum("bc,byxpqrsc->byxpqrs", hyper, g)
-        # (b, y, x, dy1, dx1, dy2, dx2) -> (b, y, dy1, dy2, x, dx1, dx2)
-        mask = mask_u.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, 4 * h, 4 * w)
+        # Everything after the t1 GEMM — +bias+skip, LN over c1, GELU, second
+        # deconv GEMM, +bias+skip, GELU, hypernetwork product — runs in ONE
+        # Pallas pass (TPU): the XLA lowering materializes the [b, hw*4, *]
+        # intermediates through a half-lane (c1=64) LN/GELU fusion + t2 GEMM
+        # + product epilogue profiled at ~52 ms/step at flagship shapes.
+        # Same contractions, fp32 stats/accumulation (ops/upscale_product).
+        from no_time_to_train_tpu.ops.upscale_product import (
+            default_device_is_cpu, fused_post_t1, fused_post_t1_xla)
+        impl = fused_post_t1_xla if default_device_is_cpu() else fused_post_t1
+        mask16 = impl(t1, bias1_4, s1f, ln["weight"], ln["bias"], k2,
+                      self.upscale_dc2_bias, s0f16, hyper,
+                      eps=self.upscale_ln.eps)
+        # [b, (y, x), (dy1, dx1, dy2, dx2)] -> (b, y, dy1, dy2, x, dx1, dx2)
+        mask = (mask16.reshape(b, h, w, 2, 2, 2, 2)
+                .transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, 4 * h, 4 * w))
         return mask
 
     def __call__(self, image_embeddings, image_pe, sparse_prompt_embeddings,

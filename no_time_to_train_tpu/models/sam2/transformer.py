@@ -9,7 +9,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from no_time_to_train_tpu.models.sam2.common import MLP, LayerNorm
+from no_time_to_train_tpu.models.sam2.common import MLP, LayerNorm, LayerNormP
 from no_time_to_train_tpu.models.sam2.pos_enc import axial_rope_cos_sin, apply_rotary
 from no_time_to_train_tpu.ops.attention import sdpa
 
@@ -32,13 +32,25 @@ class Attention(nn.Module):
     kv_in_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    @property
+    def internal_dim(self):
+        return self.embedding_dim // self.downsample_rate
+
+    def setup(self):
+        self.q_proj = nn.Dense(self.internal_dim, name="q_proj",
+                               dtype=self.dtype)
+        self.k_proj = nn.Dense(self.internal_dim, name="k_proj",
+                               dtype=self.dtype)
+        self.v_proj = nn.Dense(self.internal_dim, name="v_proj",
+                               dtype=self.dtype)
+        self.out_proj = nn.Dense(self.embedding_dim, name="out_proj",
+                                 dtype=self.dtype)
+
     def __call__(self, q, k, v, skip_last_n_keys: int = 0,
                  is_cross_skip: bool = False):
-        internal = self.embedding_dim // self.downsample_rate
-        q = nn.Dense(internal, name="q_proj", dtype=self.dtype)(q)
-        k = nn.Dense(internal, name="k_proj", dtype=self.dtype)(k)
-        v = nn.Dense(internal, name="v_proj", dtype=self.dtype)(v)
+        q = self.q_proj(q)
+        k = self.k_proj(k)
+        v = self.v_proj(v)
 
         def split(x):
             b, n, c = x.shape
@@ -51,7 +63,49 @@ class Attention(nn.Module):
         out = sdpa(qh, kh, vh, mask=mask)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        return nn.Dense(self.embedding_dim, name="out_proj", dtype=self.dtype)(out)
+        return self.out_proj(out)
+
+    def i2t_fused_with_norm(self, keys, key_pe, tok_q_in, tok_v_in, norm):
+        """Image<-token cross-attention + residual + LayerNorm via the fused
+        Pallas pass (ops/decoder_attention.py): equivalent to
+        `norm(keys + self(keys + key_pe, tok_q_in, tok_v_in))` with keys read
+        from HBM once. Token-side projections stay in XLA (tiny)."""
+        from no_time_to_train_tpu.ops.decoder_attention import fused_i2t_norm
+        tok_k = self.k_proj(tok_q_in)
+        tok_v = self.v_proj(tok_v_in)
+        pq = self.q_proj.variables["params"]
+        po = self.out_proj.variables["params"]
+        return fused_i2t_norm(
+            keys, key_pe, tok_k, tok_v, pq["kernel"], pq["bias"],
+            po["kernel"], po["bias"], norm.weight, norm.bias,
+            num_heads=self.num_heads, eps=norm.eps)
+
+    def t2i_fused(self, keys, key_pe, tok_q_in):
+        """Token->image cross-attention with the k/v projections computed
+        inside the streamed Pallas pass (ops/decoder_attention.py):
+        equivalent to `self(tok_q_in, keys + key_pe, keys)` with keys read
+        from HBM once instead of twice-projected and logits-materialized."""
+        from no_time_to_train_tpu.ops.decoder_attention import fused_t2i_attn
+        tq = self.q_proj(tok_q_in)
+        pk_ = self.k_proj.variables["params"]
+        pv_ = self.v_proj.variables["params"]
+        o = fused_t2i_attn(keys, key_pe, tq, pk_["kernel"], pk_["bias"],
+                           pv_["kernel"], pv_["bias"],
+                           num_heads=self.num_heads)
+        return self.out_proj(o)
+
+    def i2t_fusible(self, keys, tok_q_in, skip_last_n_keys):
+        """True when the fused image-side passes apply: no key masking, a
+        TPU-resident run (not CPU / not init), <=16 prompt tokens, and the
+        decoder's lane-full head geometry (H*16 == internal, 128-multiples)."""
+        from no_time_to_train_tpu.ops.upscale_product import (
+            default_device_is_cpu)
+        i = self.internal_dim
+        return (skip_last_n_keys == 0 and not self.is_initializing()
+                and not default_device_is_cpu()
+                and tok_q_in.shape[1] <= 16
+                and self.num_heads * 16 == i and i % 128 == 0
+                and keys.shape[-1] % 128 == 0 and keys.shape[-2] % 8 == 0)
 
 
 class RoPEAttention(nn.Module):
@@ -117,40 +171,64 @@ class TwoWayAttentionBlock(nn.Module):
     skip_first_layer_pe: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = Attention(self.embedding_dim, self.num_heads,
+                                   name="self_attn", dtype=self.dtype)
+        self.norm1 = LayerNorm(name="norm1", dtype=self.dtype)
+        self.cross_attn_token_to_image = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate,
+            name="cross_attn_token_to_image", dtype=self.dtype)
+        self.norm2 = LayerNorm(name="norm2", dtype=self.dtype)
+        self.mlp = MLP(self.mlp_dim, self.embedding_dim, 2,
+                       activation=self.activation, name="mlp",
+                       dtype=self.dtype)
+        self.norm3 = LayerNorm(name="norm3", dtype=self.dtype)
+        self.cross_attn_image_to_token = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate,
+            name="cross_attn_image_to_token", dtype=self.dtype)
+        self.norm4 = LayerNormP(self.embedding_dim, name="norm4",
+                                dtype=self.dtype)
+
     def __call__(self, queries, keys, query_pe, key_pe, skip_last_n_keys=0):
-        self_attn = Attention(self.embedding_dim, self.num_heads,
-                              name="self_attn", dtype=self.dtype)
         if self.skip_first_layer_pe:
-            queries = self_attn(queries, queries, queries,
-                                skip_last_n_keys=skip_last_n_keys)
+            queries = self.self_attn(queries, queries, queries,
+                                     skip_last_n_keys=skip_last_n_keys)
         else:
             q = queries + query_pe
-            queries = queries + self_attn(q, q, queries,
-                                          skip_last_n_keys=skip_last_n_keys)
-        queries = LayerNorm(name="norm1", dtype=self.dtype)(queries)
+            queries = queries + self.self_attn(
+                q, q, queries, skip_last_n_keys=skip_last_n_keys)
+        queries = self.norm1(queries)
 
         q = queries + query_pe
-        k = keys + key_pe
-        attn_out = Attention(self.embedding_dim, self.num_heads,
-                             downsample_rate=self.attention_downsample_rate,
-                             name="cross_attn_token_to_image",
-                             dtype=self.dtype)(q, k, keys)
-        queries = LayerNorm(name="norm2", dtype=self.dtype)(queries + attn_out)
+        t2i = self.cross_attn_token_to_image
+        # token->image never carries the skip mask (reference transformer.py
+        # passes it only to self-attn and image->token), so fusibility does
+        # not depend on skip_last_n_keys here
+        if t2i.i2t_fusible(keys, q, 0):
+            attn_out = t2i.t2i_fused(keys, key_pe, q)
+        else:
+            k = keys + key_pe
+            attn_out = t2i(q, k, keys)
+        queries = self.norm2(queries + attn_out)
 
-        queries = queries + MLP(self.mlp_dim, self.embedding_dim, 2,
-                                activation=self.activation, name="mlp",
-                                dtype=self.dtype)(queries)
-        queries = LayerNorm(name="norm3", dtype=self.dtype)(queries)
+        queries = queries + self.mlp(queries)
+        queries = self.norm3(queries)
 
         q = queries + query_pe
-        k = keys + key_pe
-        attn_out = Attention(self.embedding_dim, self.num_heads,
-                             downsample_rate=self.attention_downsample_rate,
-                             name="cross_attn_image_to_token",
-                             dtype=self.dtype)(
-            k, q, queries, skip_last_n_keys=skip_last_n_keys, is_cross_skip=True)
-        keys = LayerNorm(name="norm4", dtype=self.dtype)(keys + attn_out)
+        i2t = self.cross_attn_image_to_token
+        if i2t.i2t_fusible(keys, q, skip_last_n_keys):
+            # image<-token + residual + norm4 as ONE Pallas pass over the
+            # per-prompt image keys (the grid decode's dominant HBM traffic)
+            keys = i2t.i2t_fused_with_norm(keys, key_pe, q, queries,
+                                           self.norm4)
+        else:
+            k = keys + key_pe
+            attn_out = i2t(k, q, queries,
+                           skip_last_n_keys=skip_last_n_keys,
+                           is_cross_skip=True)
+            keys = self.norm4(keys + attn_out)
         return queries, keys
 
 
@@ -185,12 +263,14 @@ class TwoWayTransformer(nn.Module):
                 skip_last_n_keys=skip_last_n_keys)
 
         q = queries + point_embedding
-        k = keys + key_pe
-        attn_out = Attention(self.embedding_dim, self.num_heads,
-                             downsample_rate=self.attention_downsample_rate,
-                             name="final_attn_token_to_image",
-                             dtype=self.dtype)(
-            q, k, keys, skip_last_n_keys=skip_last_n_keys)
+        fa = Attention(self.embedding_dim, self.num_heads,
+                       downsample_rate=self.attention_downsample_rate,
+                       name="final_attn_token_to_image", dtype=self.dtype)
+        if fa.i2t_fusible(keys, q, skip_last_n_keys):
+            attn_out = fa.t2i_fused(keys, key_pe, q)
+        else:
+            k = keys + key_pe
+            attn_out = fa(q, k, keys, skip_last_n_keys=skip_last_n_keys)
         queries = LayerNorm(name="norm_final_attn", dtype=self.dtype)(
             queries + attn_out)
         return queries, keys

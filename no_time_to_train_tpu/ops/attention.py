@@ -24,6 +24,11 @@ _DEFAULT_IMPL = "xla"
 _PALLAS_MIN_Q = 512  # below this, blocks don't tile / XLA fusion wins
 
 
+def _default_device_is_cpu():
+    from no_time_to_train_tpu.ops.upscale_product import default_device_is_cpu
+    return default_device_is_cpu()
+
+
 def set_default_impl(impl):
     global _DEFAULT_IMPL
     assert impl in ("xla", "pallas"), impl
@@ -65,7 +70,7 @@ def sdpa(q, k, v, mask=None, impl=None):
         impl = _DEFAULT_IMPL
     if (impl == "pallas" and mask is None
             and q.shape[-2] >= _PALLAS_MIN_Q and k.shape[-2] >= _PALLAS_MIN_Q
-            and jax.default_backend() != "cpu"):
+            and not _default_device_is_cpu()):
         from no_time_to_train_tpu.ops.flash_attention import flash_sdpa
         return flash_sdpa(q, k, v, mask=mask)
     return _xla_sdpa(q, k, v, mask)

@@ -1,0 +1,332 @@
+"""Pallas kernels for the two-way mask-decoder's image-side attention — the
+grid decode's dominant HBM traffic (reference sam2/modeling/sam/transformer.py
+TwoWayAttentionBlock; profiled ~78 ms/step dense on one v5e at P=1024
+prompts, almost all of it streaming per-prompt [P, 4096, *] tensors).
+
+`fused_i2t_norm` runs the image<-token cross-attention half-block
+
+    x        = keys + key_pe
+    qi       = x @ Wq + bq                  (per image token)
+    attn     = softmax(qi . tok_k / sqrt(dh)) @ tok_v   (per head)
+    keys_out = LayerNorm(keys + attn @ Wout + bout)     (norm4)
+
+in ONE pass over the image tokens: keys are read once and written once;
+q-projection, per-head attention, out-projection, residual and LayerNorm all
+happen in VMEM. The token side (Nk <= 16 prompt tokens) rides along as two
+tiny per-prompt block-diagonal matrices so every contraction is a lane-full
+MXU op:
+
+  * Kbd[p] = blockdiag_h(tok_k[p, :, h*dh:(h+1)*dh].T)   [I, H*Np]
+  * Vbd[p] = blockdiag_h(tok_v[p, :, h*dh:(h+1)*dh])     [H*Np, I]
+  * logits  S = qi @ Kbd + pad_bias  — all H heads in one [bq, H*Np] GEMM
+  * per-head softmax via segment sums: l = exp(S - rowmax) @ seg, then the
+    normalizer broadcast back with segT on the MXU (a constant shift per row
+    is exact for softmax, so the row max over ALL heads stands in for the
+    per-head max)
+  * attn out = P @ Vbd — the (head, dh) output lanes land exactly in the
+    h-major layout the out-projection consumes; no head split/merge
+    transposes anywhere.
+
+Requires internal_dim == H * dh == 128-multiple and H * 16 == internal_dim
+(the SAM2 decoder: C=256, downsample 2 -> I=128, H=8, dh=16, Np=16).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+# tests flip this to run the kernels through the Pallas interpreter on CPU
+_INTERPRET = False
+
+
+def _i2t_kernel(keys_ref, pe_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
+                wout_ref, bout_ref, nw_ref, nb_ref, seg_ref, segT_ref, o_ref,
+                *, sm_scale, eps, elem_f32):
+    keys = keys_ref[0]                                   # [bq, C]
+    x = keys + pe_ref[0]
+    qi = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
+    qi = ((qi + bq_ref[0].astype(jnp.float32)) * sm_scale).astype(x.dtype)
+    s = jnp.dot(qi, kbd_ref[0], preferred_element_type=jnp.float32)
+    s = s + bias_ref[0].astype(jnp.float32)              # [bq, H*Np]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l8 = jnp.dot(e, seg_ref[...], preferred_element_type=jnp.float32)
+    lb = jnp.dot(1.0 / l8, segT_ref[...], preferred_element_type=jnp.float32)
+    p = (e * lb).astype(x.dtype)
+    attn = jnp.dot(p, vbd_ref[0], preferred_element_type=jnp.float32)
+    y = jnp.dot(attn.astype(x.dtype), wout_ref[...],
+                preferred_element_type=jnp.float32)
+    y = y + bout_ref[0].astype(jnp.float32)
+    # residual + norm4, mirroring common._layer_norm: the residual rounds to
+    # the compute dtype first, stats accumulate in fp32
+    rl = keys + y.astype(keys.dtype)
+    rf = rl.astype(jnp.float32)
+    mu = jnp.mean(rf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    if elem_f32:
+        z = (rf - mu) * inv * nw_ref[0] + nb_ref[0]
+    else:
+        z = (rl - mu.astype(keys.dtype)) * inv.astype(keys.dtype)
+        z = z * nw_ref[0].astype(keys.dtype) + nb_ref[0].astype(keys.dtype)
+    o_ref[0] = z.astype(o_ref.dtype)
+
+
+def fused_i2t_norm(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout, norm_w,
+                   norm_b, *, num_heads, eps=1e-5, pos_block=512,
+                   interpret=False):
+    """keys: [Pk, n, C] (Pk == P, or 1 broadcast across prompts — layer 0);
+    key_pe: [n, C] or [Pe, n, C] (Pe in {1, P});
+    tok_k/tok_v: [P, T, I] token-side projections (T <= 16);
+    wq: [C, I]; bq: [I]; wout: [I, C]; bout: [C]; norm_w/b: [C].
+    Returns LayerNorm(keys + attn_out) [P, n, C] (keys dtype)."""
+    interpret = interpret or _INTERPRET
+    p_, t, i = tok_k.shape
+    pk, n, c = keys.shape
+    if key_pe.ndim == 2:
+        key_pe = key_pe[None]
+    pe_b = key_pe.shape[0]
+    h = num_heads
+    dh = i // h
+    np_ = 16
+    assert t <= np_ and h * np_ == i and wq.shape == (c, i), (tok_k.shape, i)
+    dt = keys.dtype
+    bq_pos = pos_block
+    while n % bq_pos:
+        bq_pos //= 2
+
+    kp = tok_k.reshape(p_, t, h, dh)
+    vp = tok_v.reshape(p_, t, h, dh)
+    eye = jnp.eye(h, dtype=jnp.float32)
+    # Kbd[(h, dh), (g, j)] = tok_k[j, (h, dh)] * (h == g), j padded to Np
+    kbd = jnp.einsum("pjhd,hg->phdgj", kp.astype(jnp.float32), eye)
+    kbd = jnp.pad(kbd, ((0, 0), (0, 0), (0, 0), (0, 0), (0, np_ - t)))
+    kbd = kbd.reshape(p_, i, h * np_).astype(dt)
+    # Vbd[(g, j), (h, dh)] = tok_v[j, (h, dh)] * (g == h)
+    vbd = jnp.einsum("pjhd,hg->pgjhd", vp.astype(jnp.float32), eye)
+    vbd = jnp.pad(vbd, ((0, 0), (0, 0), (0, np_ - t), (0, 0), (0, 0)))
+    vbd = vbd.reshape(p_, h * np_, i).astype(dt)
+    pad_bias = np.where(np.arange(np_) < t, 0.0, -1e30)[None, :]
+    pad_bias = jnp.asarray(np.tile(pad_bias, (h, 1)).reshape(1, h * np_),
+                           jnp.float32)
+    segid = np.repeat(np.arange(h), np_)
+    seg = jnp.asarray((segid[:, None] == np.arange(8)[None])
+                      .astype(np.float32))                # [H*Np, 8]
+    segT = jnp.asarray((np.arange(8)[:, None] == segid[None])
+                       .astype(np.float32))               # [8, H*Np]
+
+    grid = (p_, n // bq_pos)
+    k_idx = (lambda p, b: (0, b, 0)) if pk == 1 else (lambda p, b: (p, b, 0))
+    pe_idx = (lambda p, b: (0, b, 0)) if pe_b == 1 else (lambda p, b: (p, b, 0))
+    out = pl.pallas_call(
+        functools.partial(_i2t_kernel, sm_scale=1.0 / (dh ** 0.5), eps=eps,
+                          elem_f32=(dt == jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq_pos, c), k_idx),
+            pl.BlockSpec((1, bq_pos, c), pe_idx),
+            pl.BlockSpec((1, i, h * np_), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, h * np_), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, h * np_, i), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((c, i), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, i), lambda p, b: (0, 0)),
+            pl.BlockSpec((i, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((h * np_, 8), lambda p, b: (0, 0)),
+            pl.BlockSpec((8, h * np_), lambda p, b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq_pos, c), lambda p, b: (p, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((p_, n, c), dt),
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")))),
+    )(keys.astype(dt), key_pe.astype(dt), kbd, pad_bias, vbd,
+      wq.astype(dt), bq[None].astype(jnp.float32), wout.astype(dt),
+      bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
+      norm_b[None].astype(jnp.float32), seg, segT)
+    return out
+
+
+def fused_i2t_norm_xla(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout,
+                       norm_w, norm_b, *, num_heads, eps=1e-5):
+    """Pure-XLA reference for fused_i2t_norm (tests/CPU fallback) — the exact
+    unfused formulation: q-projection, per-head SDPA, out-projection,
+    residual, LayerNorm."""
+    from no_time_to_train_tpu.models.sam2.common import _layer_norm
+    from no_time_to_train_tpu.ops.attention import _xla_sdpa
+    p_, t, i = tok_k.shape
+    pk, n, c = keys.shape
+    h = num_heads
+    dh = i // h
+    x = keys + (key_pe if key_pe.ndim == 3 else key_pe[None])
+    qi = (x.reshape(pk * n, c) @ wq.astype(x.dtype)).reshape(pk, n, i) \
+        + bq.astype(x.dtype)
+    qi = jnp.broadcast_to(qi, (p_, n, i))
+
+    def split(z):
+        b, m, _ = z.shape
+        return z.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
+
+    o = _xla_sdpa(split(qi), split(tok_k), split(tok_v))
+    o = o.transpose(0, 2, 1, 3).reshape(p_, n, i)
+    y = (o.reshape(p_ * n, i) @ wout.astype(o.dtype)).reshape(p_, n, c) \
+        + bout.astype(o.dtype)
+    r = keys + y
+    return _layer_norm(r, norm_w, norm_b, eps, keys.dtype)
+
+
+def _t2i_kernel(keys_ref, pe_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
+                wv_ref, bv_ref, o_ref, m_ref, l_ref, acc_ref, *, n_blocks):
+    """Token->image attention with the k/v projections in-kernel and online
+    softmax over the streamed image blocks.
+
+    Per (prompt, k-block) step: kk/vv = (keys + pe) @ Wk, keys @ Wv; the
+    per-head logits for ALL (head, token) pairs land in one lane-full GEMM
+    S_T = kk @ Qbd [bk, H*Tp]; running max/sum per (head, token) lane with
+    the value accumulator O[(h, t), (h', dh)] built by a contraction over the
+    block rows — the h' mismatch blocks are discarded by the caller."""
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    keys = keys_ref[0]                                    # [bk, C]
+    x = keys + pe_ref[0]
+    kk = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
+    kk = (kk + bk_ref[0].astype(jnp.float32)).astype(keys.dtype)
+    vv = jnp.dot(keys, wv_ref[...], preferred_element_type=jnp.float32)
+    vv = (vv + bv_ref[0].astype(jnp.float32)).astype(keys.dtype)
+
+    s = jnp.dot(kk, qbd_ref[0], preferred_element_type=jnp.float32)
+    s = s + bias_ref[0].astype(jnp.float32)               # [bk, H*Tp]
+    m_cur = jnp.max(s, axis=0, keepdims=True)             # [1, H*Tp]
+    m_new = jnp.maximum(m_ref[...], m_cur)
+    alpha = jnp.exp(m_ref[...] - m_new)                   # [1, H*Tp]
+    e = jnp.exp(s - m_new)                                # [bk, H*Tp]
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(e, axis=0, keepdims=True)
+    # acc[(h, t), (h', dh)] += e.T @ vv  (contraction over block rows)
+    upd = jax.lax.dot_general(e.astype(keys.dtype), vv,
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[0][:, None] + upd
+    m_ref[...] = m_new
+
+    @pl.when(bi == n_blocks - 1)
+    def _finish():
+        linv = (1.0 / l_ref[...])[0][:, None]             # [H*Tp, 1]
+        o_ref[0] = (acc_ref[...] * linv).astype(o_ref.dtype)
+
+
+def fused_t2i_attn(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads,
+                   pos_block=1024, interpret=False):
+    """Token->image cross-attention core with in-kernel k/v projections.
+
+    keys: [Pk, n, C] (Pk == P or 1); key_pe: [n, C] / [Pe, n, C] (zeros ok);
+    tok_q: [P, T, I] token-side q-projection output, PRE-scaled is not
+    required (1/sqrt(dh) applied here); wk/wv: [C, I]; bk/bv: [I].
+    Returns attn out [P, T, I] (keys dtype) — feed to out_proj.
+
+    Equivalent to sdpa(split(tok_q), split((keys+pe) @ Wk), split(keys @ Wv))
+    merged back to [P, T, I]; replaces the two [P, n, I] projection
+    materializations + [P, H, T, n] logits round-trips with one streamed
+    pass over keys."""
+    interpret = interpret or _INTERPRET
+    p_, t, i = tok_q.shape
+    pk, n, c = keys.shape
+    if key_pe.ndim == 2:
+        key_pe = key_pe[None]
+    pe_b = key_pe.shape[0]
+    h = num_heads
+    dh = i // h
+    tp = 16
+    assert t <= tp and h * tp == i and wk.shape == (c, i)
+    dt = keys.dtype
+    bk_pos = pos_block
+    while n % bk_pos:
+        bk_pos //= 2
+    n_blocks = n // bk_pos
+
+    sm_scale = 1.0 / (dh ** 0.5)
+    qp = (tok_q.astype(jnp.float32) * sm_scale).reshape(p_, t, h, dh)
+    eye = jnp.eye(h, dtype=jnp.float32)
+    # Qbd[(h, dh), (g, t)] = q[t, (h, dh)] * (h == g), t padded to Tp
+    qbd = jnp.einsum("pthd,hg->phdgt", qp, eye)
+    qbd = jnp.pad(qbd, ((0, 0), (0, 0), (0, 0), (0, 0), (0, tp - t)))
+    qbd = qbd.reshape(p_, i, h * tp).astype(dt)
+    pad_bias = np.where(np.arange(tp) < t, 0.0, -1e30)[None, :]
+    pad_bias = jnp.asarray(np.tile(pad_bias, (h, 1)).reshape(1, h * tp),
+                           jnp.float32)
+
+    grid = (p_, n_blocks)
+    k_idx = (lambda p, b: (0, b, 0)) if pk == 1 else (lambda p, b: (p, b, 0))
+    pe_idx = (lambda p, b: (0, b, 0)) if pe_b == 1 \
+        else (lambda p, b: (p, b, 0))
+    out = pl.pallas_call(
+        functools.partial(_t2i_kernel, n_blocks=n_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bk_pos, c), k_idx),
+            pl.BlockSpec((1, bk_pos, c), pe_idx),
+            pl.BlockSpec((1, i, h * tp), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, h * tp), lambda p, b: (0, 0)),
+            pl.BlockSpec((c, i), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, i), lambda p, b: (0, 0)),
+            pl.BlockSpec((c, i), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, i), lambda p, b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h * tp, i), lambda p, b: (p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((p_, h * tp, i), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, h * tp), jnp.float32),
+            pltpu.VMEM((1, h * tp), jnp.float32),
+            pltpu.VMEM((h * tp, i), jnp.float32),
+        ],
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")))),
+    )(keys.astype(dt), key_pe.astype(dt), qbd, pad_bias,
+      wk.astype(dt), bk[None].astype(jnp.float32),
+      wv.astype(dt), bv[None].astype(jnp.float32))
+
+    # rows (h, t), cols (h', dh): keep the h == h' diagonal blocks
+    o4 = out.reshape(p_, h, tp, h, dh)
+    o4 = o4[:, jnp.arange(h), :, jnp.arange(h), :]        # -> [h, P, tp, dh]
+    return (o4.transpose(1, 2, 0, 3)[:, :t]
+            .reshape(p_, t, i).astype(dt))
+
+
+def fused_t2i_attn_xla(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads):
+    """Pure-XLA reference for fused_t2i_attn (tests/CPU fallback)."""
+    from no_time_to_train_tpu.ops.attention import _xla_sdpa
+    p_, t, i = tok_q.shape
+    pk, n, c = keys.shape
+    h = num_heads
+    dh = i // h
+    x = keys + (key_pe if key_pe.ndim == 3 else key_pe[None])
+    kk = (x.reshape(-1, c) @ wk.astype(x.dtype)).reshape(pk, n, i) \
+        + bk.astype(x.dtype)
+    vv = (keys.reshape(-1, c) @ wv.astype(x.dtype)).reshape(pk, n, i) \
+        + bv.astype(x.dtype)
+    kk = jnp.broadcast_to(kk, (p_, n, i))
+    vv = jnp.broadcast_to(vv, (p_, n, i))
+
+    def split(z):
+        b, m, _ = z.shape
+        return z.reshape(b, m, h, dh).transpose(0, 2, 1, 3)
+
+    o = _xla_sdpa(split(tok_q), split(kk), split(vv))
+    return o.transpose(0, 2, 1, 3).reshape(p_, t, i)

@@ -1,26 +1,39 @@
-"""Pallas kernel: fused second-deconv + skip-add + GELU + hypernetwork
-product of the SAM2 mask decoder (reference mask_decoder.py output_upscaling
-+ hypernetwork product, the profiled ~40% of grid-decode time).
+"""Pallas kernel: the SAM2 mask-decoder upscale chain after the first-deconv
+GEMM — LayerNorm + GELU + second deconv + skips + GELU + hypernetwork product
+(reference mask_decoder.py output_upscaling + the per-prompt mask product,
+the profiled ~40% of grid-decode time).
 
-For every prompt the dense path runs GEMM[hw*4, c1 -> 4*c2], adds the s0 skip
-feature, GELUs, multiplies by the prompt's 1x[c2] hypernetwork vector and
-reduces c2 — XLA lowers this as a tiny-channel convolution fusion at ~8
-TFLOP/s (c2=32 pads the lane dim 4x). This kernel keeps the GEMM output
-entirely in VMEM in its natural [rows, 4*c2(=128)] lane-full layout, applies
-the epilogue in registers, and emits the four (dy2, dx2) output phases with
-rows on the lane axis — the final interleave to [B, 4h, 4w] is one cheap XLA
-transpose.
+Design (v3, the wired version): the decoder computes the first deconv as one
+lane-full GEMM [B*hw, d] @ [d, 4*c1] (cols (dy1, dx1, c1)); this kernel
+consumes that RAW output and keeps everything else in VMEM:
 
-STATUS: experimental, NOT wired into the decoder. Measured on one v5e at the
-flagship shapes (B=256, h=w=64): ~63 ms vs the in-pipeline XLA conv fusion's
-~9 ms/chunk — the sequential Pallas grid plus the fp32 epilogue through the
-VPU dominates; prompt-blocking and parallel dimension_semantics did not move
-it. Kept (with an interpret-mode correctness test) as the starting point for
-a round-2 attempt via pltpu.emit_pipeline or a bf16 epilogue.
+  * LayerNorm over each 64-wide c1 segment with the statistics computed as
+    MXU dots against segment indicators — [rows, 256] stays lane-full, no
+    cross-lane VPU reductions;
+  * the second deconv contracts a 4x block-diagonal [4*c1, 16*c2] copy of
+    k2, so all four (dy1, dx1) quarters run in ONE K=256 MXU GEMM;
+  * the hypernetwork product folds the prompt's tiled hyper vector
+    elementwise and contracts (phase, c2) with a [16*c2, 16] indicator on
+    the MXU, emitting the 16 subpixel phases on the lane axis.
 
-Row convention: `u` rows are (y, x, dy1, dx1)-major, i.e. u comes from the
-first deconv's un-shuffled GEMM layout (see MaskDecoder.
-_upscale_product_unshuffled); `k2` columns are (dy2, dx2, c2)."""
+Only the [B, hw, 16] mask phases leave VMEM (~67 MB/chunk vs the ~2.7 GB of
+XLA intermediates).
+
+Measured history at flagship decode shapes (B=256 prompts, 64x64 grid,
+d=256, one v5e):
+  * XLA 8-d einsum form (round 1): ~12.4 ms/chunk in-pipeline, but its
+    half-lane (c2-minor) intermediates pad 4x to the 128-lane tile;
+  * full-chain Pallas kernel incl. the t1 GEMM: 18.4 ms/chunk — the
+    per-quarter N=64 GEMMs and cross-lane VPU LayerNorm dominate;
+  * flat GEMM + Pallas product epilogue only: 8.7 ms/chunk isolated, but
+    in-context the upstream half-lane LN/GELU fusion (17 ms/step) and the
+    materialized t2 GEMM (16.7 ms/step) erased the win (bench 214 vs 205
+    ms/img);
+  * this kernel: see ARCHITECTURE.md round-2 measurements.
+
+Mosaic notes: erf/erfc do not lower — the rational-erf helper below is the
+workaround (abs err <= 1.5e-7, far below bf16 resolution).
+"""
 import functools
 
 import numpy as np
@@ -53,208 +66,144 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
-def _kernel(u_ref, k2_ref, bias_ref, s0_ref, hyp_ref, o_ref, *, c2):
-    pb, r, c1 = u_ref.shape
-    u = u_ref[...].reshape(pb * r, c1)
-    z = jnp.dot(u, k2_ref[...], preferred_element_type=jnp.float32)
-    z = z.reshape(pb, r, 4 * c2)
-    z = z + bias_ref[...].astype(jnp.float32)
-    z = z + s0_ref[...].astype(jnp.float32)        # [1, R, 4*c2] broadcasts
-    g = _gelu(z)                                   # [PB, R, 4*c2] fp32
-    hyp = hyp_ref[:, 0, :].astype(jnp.float32)     # [PB, c2]
-    for k in range(4):
-        mk = (g[..., k * c2:(k + 1) * c2] * hyp[:, None, :]).sum(axis=-1)
-        o_ref[:, k, :] = mk.astype(o_ref.dtype)
+def default_device_is_cpu():
+    """True when computations default to the CPU backend — either because CPU
+    is the only platform or because jax_default_device is pinned to a CPU
+    device (the test/dryrun convention on hosts with a remote TPU attached,
+    where jax.default_backend() alone still reports the TPU)."""
+    d = jax.config.jax_default_device
+    if d is not None:
+        return getattr(d, "platform", str(d)) == "cpu"
+    return jax.default_backend() == "cpu"
 
 
-def upscale_product(u, k2mat, bias4, s0u, hyper, h, w, *, tile_y=4,
-                    prompt_block=8, interpret=False):
-    """u: [B, h*w*4, c1] (rows (y, x, dy1, dx1)); k2mat: [c1, 4*c2] (cols
-    (dy2, dx2, c2)); bias4: [4*c2] (tiled deconv bias); s0u: [1, h*w*4, 4*c2]
-    skip features in the same layout (zeros if unused); hyper: [B, c2].
-    Returns mask [B, 4h, 4w] fp32."""
-    b, rows, c1 = u.shape
-    c2 = hyper.shape[-1]
-    assert rows == h * w * 4 and k2mat.shape == (c1, 4 * c2)
-    while h % tile_y:
-        tile_y //= 2
-    pb = prompt_block
-    while b % pb:
-        pb //= 2
-    blk_r = tile_y * w * 4
-    grid = (b // pb, h // tile_y)
+def _post_t1_kernel(t1_ref, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
+                    b2_ref, s0_ref, hyp_ref, segln_ref, seglnT_ref,
+                    seg16_ref, o_ref, *, eps):
+    """One [pb, pt, 4*c1] block of the post-t1 chain (see module doc)."""
+    pb, pt, m1 = t1_ref.shape
+    z3 = (t1_ref[...].astype(jnp.float32)
+          + b1_ref[0].astype(jnp.float32)
+          + s1_ref[...].astype(jnp.float32)[None])
+    z = z3.reshape(pb * pt, m1)
+    segln = segln_ref[...]                       # [m1, 8], 1/c1 on segment
+    mu = jnp.dot(z, segln, preferred_element_type=jnp.float32)
+    ex2 = jnp.dot(z * z, segln, preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
+    seglnT = seglnT_ref[...]                     # [8, m1] indicator
+    mub = jnp.dot(mu, seglnT, preferred_element_type=jnp.float32)
+    invb = jnp.dot(inv, seglnT, preferred_element_type=jnp.float32)
+    zn = (z - mub) * invb * lnw4_ref[0].astype(jnp.float32) \
+        + lnb4_ref[0].astype(jnp.float32)
+    u = _gelu(zn).astype(k2bd_ref.dtype)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, c2=c2),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((pb, blk_r, c1), lambda p, t: (p, t, 0)),
-            pl.BlockSpec((c1, 4 * c2), lambda p, t: (0, 0)),
-            pl.BlockSpec((4 * c2,), lambda p, t: (0,)),
-            pl.BlockSpec((1, blk_r, 4 * c2), lambda p, t: (0, t, 0)),
-            pl.BlockSpec((pb, 1, c2), lambda p, t: (p, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((pb, 4, blk_r), lambda p, t: (p, 0, t)),
-        out_shape=jax.ShapeDtypeStruct((b, 4, rows), jnp.float32),
-        interpret=interpret,
-        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")))),
-    )(u, k2mat, bias4, s0u, hyper[:, None, :])
-
-    # [B, (dy2,dx2), (y,x,dy1,dx1)] -> [B, 4h, 4w]
-    m = out.reshape(b, 2, 2, h, w, 2, 2)
-    return m.transpose(0, 3, 5, 1, 4, 6, 2).reshape(b, 4 * h, 4 * w)
+    t2 = jnp.dot(u, k2bd_ref[...], preferred_element_type=jnp.float32)
+    m2 = t2.shape[-1]
+    z2 = (t2.reshape(pb, pt, m2)
+          + b2_ref[0].astype(jnp.float32)
+          + s0_ref[...].astype(jnp.float32)[None])
+    g = _gelu(z2) * hyp_ref[...][:, None, :]
+    mask = jnp.dot(g.reshape(pb * pt, m2).astype(seg16_ref.dtype),
+                   seg16_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = mask.reshape(pb, pt, 16).astype(o_ref.dtype)
 
 
-def _fused_kernel(src_ref, k1_ref, b1_ref, s1_ref, lnw_ref, lnb_ref,
-                  k2_ref, b2_ref, s0_ref, hyp_ref, sel_ref, o_ref,
-                  *, c1, c2, eps):
-    """One block: pb prompts x pt positions of the FULL upscale chain.
+def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
+                  *, eps=1e-6, prompt_block=8, pos_block=128, interpret=False):
+    """Fused LN + GELU + second deconv + skip + GELU + hypernetwork product,
+    consuming the RAW first-deconv GEMM output.
 
-    src [pb, pt, d] -> for each (dy1, dx1) quarter q:
-      t1_q = src @ k1[:, q]            (MXU, K=d)
-      u_q  = gelu(ln(t1_q + s1_q))     (VPU, LN over c1)
-      g_q  = gelu(u_q @ k2 + b2 + s0_q)  (MXU K=c1, VPU)
-      out[p, q, s, :] = g_q[p] @ (hyper_p as block-diag)  (MXU, transposed
-        so positions land on the lane axis)
-    Everything stays in VMEM; only the [pb, 16, pt] mask leaves.
-    """
-    pb, pt, d = src_ref.shape
-    src = src_ref[...].reshape(pb * pt, d)
-    sel = sel_ref[...]                       # [4*c2, 8] block-diag selector
-    for q in range(4):
-        k1q = k1_ref[:, q * c1:(q + 1) * c1]
-        t1 = jnp.dot(src, k1q, preferred_element_type=jnp.float32)
-        t1 = t1 + b1_ref[0, q * c1:(q + 1) * c1].astype(jnp.float32)
-        s1q = s1_ref[:, q * c1:(q + 1) * c1].astype(jnp.float32)
-        t1 = t1.reshape(pb, pt, c1) + s1q[None]
-        # LayerNorm over c1 (population var, eps inside rsqrt)
-        mu = t1.mean(axis=-1, keepdims=True)
-        var = jnp.square(t1 - mu).mean(axis=-1, keepdims=True)
-        t1 = (t1 - mu) * jax.lax.rsqrt(var + eps)
-        t1 = t1 * lnw_ref[0].astype(jnp.float32) \
-            + lnb_ref[0].astype(jnp.float32)
-        u = _gelu(t1).reshape(pb * pt, c1).astype(k2_ref.dtype)
-
-        t2 = jnp.dot(u, k2_ref[...], preferred_element_type=jnp.float32)
-        t2 = t2 + b2_ref[0].astype(jnp.float32)
-        s0q = s0_ref[:, q, :].astype(jnp.float32)
-        g = _gelu(t2.reshape(pb, pt, 4 * c2) + s0q[None])
-        # scale by the prompt's tiled hypernetwork vector, then contract the
-        # (s, c) axis with the shared block-diag selector on the MXU,
-        # transposed so positions land on the lane axis
-        gh = (g * hyp_ref[...][:, None, :].astype(jnp.float32)) \
-            .astype(src_ref.dtype)
-        for p in range(pb):
-            mk = jax.lax.dot_general(
-                sel, gh[p], (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [8, pt]
-            o_ref[p, q * 4:(q + 1) * 4, :] = mk[:4].astype(o_ref.dtype)
-
-
-def fused_upscale_mask(src_flat, k1mat, bias1, s1u, ln_w, ln_b, k2mat, bias2,
-                       s0u, hyper, h, w, *, eps=1e-6, prompt_block=8,
-                       pos_block=512, interpret=False):
-    """Fully-fused mask upscale: both deconvs + LN + skips + GELUs +
-    hypernetwork product of the SAM2 decoder in ONE Pallas kernel.
-
-    The XLA lowering of this chain materializes the [B, h*w*4, 4*c2]
-    pre-product tensor (~1 GB/chunk) in HBM with a prompt-minor layout that
-    runs the deconv2 GEMM ~6x off roofline (profiled 12.4 ms/chunk); here
-    nothing larger than the [B, hw, 16] mask leaves VMEM.
-
-    src_flat: [B, h*w, d] transformer image output (per-prompt);
-    k1mat: [d, 4*c1] cols (dy1, dx1, c1); bias1: [4*c1] (dc1 bias tiled);
-    s1u: [h*w, 4*c1] unshuffled skip (zeros if unused); ln_w/ln_b: [c1];
-    k2mat: [c1, 4*c2] cols (dy2, dx2, c2); bias2: [4*c2]; s0u: [h*w, 4, 4*c2]
-    (pos, (dy1 dx1), (dy2 dx2 c2)); hyper: [B, c2].
-    Returns mask [B, 4h, 4w] (src dtype).
-    """
-    b, hw, d = src_flat.shape
-    c2 = hyper.shape[-1]
-    c1 = k2mat.shape[0]
-    assert hw == h * w and k1mat.shape == (d, 4 * c1)
-    assert s0u.shape == (hw, 4, 4 * c2) and s1u.shape == (hw, 4 * c1)
+    t1: [B, hw, 4*c1] (rows (y, x), cols (dy1, dx1, c1) — the lane-full GEMM
+    layout of MaskDecoder._upscale_product_unshuffled); bias1_4: [4*c1] tiled
+    dc1 bias; s1f: [hw, 4*c1] unshuffled s1 skip (zeros if unused);
+    ln_w/ln_b: [c1]; k2mat: [c1, 4*c2] cols (dy2, dx2, c2); bias2: [c2];
+    s0f16: [hw, 16*c2] cols (dy1, dx1, dy2, dx2, c2) (zeros if unused);
+    hyper: [B, c2]. Returns mask [B, hw, 16] (t1 dtype), cols
+    (dy1, dx1, dy2, dx2) — the caller interleaves to [B, 4h, 4w]."""
+    b, hw, m1 = t1.shape
+    c2 = k2mat.shape[1] // 4
+    c1 = m1 // 4
+    assert k2mat.shape == (c1, 4 * c2) and s1f.shape == (hw, m1)
+    assert s0f16.shape == (hw, 16 * c2) and hyper.shape == (b, c2)
     pb = prompt_block
     while b % pb:
         pb //= 2
     pt = pos_block
     while hw % pt:
         pt //= 2
+    if not interpret and pb % 8 and pb != b:
+        # Mosaic needs the prompt block sublane-divisible; odd prompt counts
+        # (never the flagship 256/chunk) take the XLA formulation
+        return fused_post_t1_xla(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2,
+                                 s0f16, hyper, eps=eps)
     grid = (b // pb, hw // pt)
-    # block-diagonal selector sel[(s, c), s'] = 1 iff s == s' (8 cols: the
-    # MXU needs a >=8 minor dim; cols 4..7 are discarded)
-    sel = (np.arange(4 * c2)[:, None] // c2 == np.arange(8)[None]) \
-        .astype(np.float32)
-    dt = src_flat.dtype
-    sel = jnp.asarray(sel, dt)
+    dt = t1.dtype
+
+    # K2bd[(p1, c), (p1', m)] = k2[c, m] * (p1 == p1'): the four (dy1, dx1)
+    # quarters contract their own c1 block in ONE lane-full MXU GEMM
+    k2bd = jnp.einsum("cm,pq->pcqm", k2mat.astype(jnp.float32),
+                      jnp.eye(4, dtype=jnp.float32))
+    k2bd = k2bd.reshape(m1, 16 * c2).astype(dt)
+    seg = np.repeat(np.arange(4), c1)
+    segln = (seg[:, None] == np.arange(8)[None]).astype(np.float32) / c1
+    seglnT = (np.arange(8)[:, None] == seg[None]).astype(np.float32)
+    seg16 = np.repeat(np.arange(16), c2)
+    seg16 = (seg16[:, None] == np.arange(16)[None]).astype(np.float32)
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, c1=c1, c2=c2, eps=eps),
+        functools.partial(_post_t1_kernel, eps=eps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pb, pt, d), lambda p, t: (p, t, 0)),
-            pl.BlockSpec((d, 4 * c1), lambda p, t: (0, 0)),
-            pl.BlockSpec((1, 4 * c1), lambda p, t: (0, 0)),
-            pl.BlockSpec((pt, 4 * c1), lambda p, t: (t, 0)),
-            pl.BlockSpec((1, c1), lambda p, t: (0, 0)),
-            pl.BlockSpec((1, c1), lambda p, t: (0, 0)),
-            pl.BlockSpec((c1, 4 * c2), lambda p, t: (0, 0)),
-            pl.BlockSpec((1, 4 * c2), lambda p, t: (0, 0)),
-            pl.BlockSpec((pt, 4, 4 * c2), lambda p, t: (t, 0, 0)),
-            pl.BlockSpec((pb, 4 * c2), lambda p, t: (p, 0)),
-            pl.BlockSpec((4 * c2, 8), lambda p, t: (0, 0)),
+            pl.BlockSpec((pb, pt, m1), lambda p, t: (p, t, 0)),
+            pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
+            pl.BlockSpec((pt, m1), lambda p, t: (t, 0)),
+            pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
+            pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
+            pl.BlockSpec((m1, 16 * c2), lambda p, t: (0, 0)),
+            pl.BlockSpec((1, 16 * c2), lambda p, t: (0, 0)),
+            pl.BlockSpec((pt, 16 * c2), lambda p, t: (t, 0)),
+            pl.BlockSpec((pb, 16 * c2), lambda p, t: (p, 0)),
+            pl.BlockSpec((m1, 8), lambda p, t: (0, 0)),
+            pl.BlockSpec((8, m1), lambda p, t: (0, 0)),
+            pl.BlockSpec((16 * c2, 16), lambda p, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((pb, 16, pt), lambda p, t: (p, 0, t)),
-        out_shape=jax.ShapeDtypeStruct((b, 16, hw), dt),
+        out_specs=pl.BlockSpec((pb, pt, 16), lambda p, t: (p, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hw, 16), dt),
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")))),
-    )(src_flat, k1mat.astype(dt), bias1[None].astype(dt), s1u.astype(dt),
-      ln_w[None].astype(dt), ln_b[None].astype(dt), k2mat.astype(dt),
-      bias2[None].astype(dt), s0u.astype(dt),
-      jnp.tile(hyper, (1, 4)).astype(jnp.float32), sel)
-
-    # [B, (dy1 dx1 dy2 dx2), (y x)] -> [B, (y dy1 dy2), (x dx1 dx2)]
-    m = out.reshape(b, 2, 2, 2, 2, h, w)
-    return m.transpose(0, 5, 1, 3, 6, 2, 4).reshape(b, 4 * h, 4 * w)
-
-
-def fused_upscale_mask_xla(src_flat, k1mat, bias1, s1u, ln_w, ln_b, k2mat,
-                           bias2, s0u, hyper, h, w, *, eps=1e-6):
-    """Pure-XLA same-contraction reference for the fused kernel (tests)."""
-    b, hw, d = src_flat.shape
-    c2 = hyper.shape[-1]
-    c1 = k2mat.shape[0]
-    t1 = jnp.einsum("bpd,dm->bpm", src_flat,
-                    k1mat.astype(src_flat.dtype)).astype(jnp.float32)
-    t1 = t1 + bias1.astype(jnp.float32) + s1u.astype(jnp.float32)[None]
-    t1 = t1.reshape(b, hw, 4, c1)
-    mu = t1.mean(-1, keepdims=True)
-    var = jnp.square(t1 - mu).mean(-1, keepdims=True)
-    t1 = (t1 - mu) * jax.lax.rsqrt(var + eps)
-    t1 = t1 * ln_w.astype(jnp.float32) + ln_b.astype(jnp.float32)
-    u = jax.nn.gelu(t1, approximate=False)
-    t2 = jnp.einsum("bpqc,cm->bpqm", u.astype(src_flat.dtype),
-                    k2mat.astype(src_flat.dtype)).astype(jnp.float32)
-    t2 = t2 + bias2.astype(jnp.float32) + s0u.astype(jnp.float32)[None]
-    g = jax.nn.gelu(t2, approximate=False)
-    mk = jnp.einsum("bpqsc,bc->bpqs", g.reshape(b, hw, 4, 4, c2),
-                    hyper.astype(jnp.float32))
-    h_ = h
-    m = mk.reshape(b, h_, hw // h_, 2, 2, 2, 2)
-    return m.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
-        b, 4 * h_, 4 * (hw // h_)).astype(src_flat.dtype)
+    )(t1, bias1_4[None].astype(dt), s1f.astype(dt),
+      jnp.tile(ln_w, 4)[None].astype(jnp.float32),
+      jnp.tile(ln_b, 4)[None].astype(jnp.float32),
+      k2bd, jnp.tile(bias2, 16)[None].astype(jnp.float32),
+      s0f16.astype(dt), jnp.tile(hyper, (1, 16)).astype(jnp.float32),
+      jnp.asarray(segln), jnp.asarray(seglnT), jnp.asarray(seg16, dt))
+    return out
 
 
-def upscale_product_xla(u, k2mat, bias4, s0u, hyper, h, w):
-    """Pure-XLA reference of the same contraction (for tests/fallback)."""
-    b, rows, c1 = u.shape
-    c2 = hyper.shape[-1]
-    z = jnp.einsum("brc,cm->brm", u, k2mat.astype(u.dtype)).astype(jnp.float32)
-    z = z + bias4.astype(jnp.float32) + s0u.astype(jnp.float32)
-    g = jax.nn.gelu(z, approximate=False)
-    m4 = jnp.einsum("brkc,bc->bkr", g.reshape(b, rows, 4, c2),
-                    hyper.astype(jnp.float32))
-    m = m4.reshape(b, 2, 2, h, w, 2, 2)
-    return m.transpose(0, 3, 5, 1, 4, 6, 2).reshape(b, 4 * h, 4 * w)
+def fused_post_t1_xla(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16,
+                      hyper, *, eps=1e-6):
+    """Pure-XLA same-contraction reference for fused_post_t1 (tests/CPU)."""
+    b, hw, m1 = t1.shape
+    c2 = k2mat.shape[1] // 4
+    c1 = m1 // 4
+    z = (t1.astype(jnp.float32) + bias1_4.astype(jnp.float32)
+         + s1f.astype(jnp.float32)[None]).reshape(b, hw, 4, c1)
+    mu = z.mean(-1, keepdims=True)
+    var = jnp.square(z - mu).mean(-1, keepdims=True)
+    zn = (z - mu) * jax.lax.rsqrt(var + eps)
+    zn = zn * ln_w.astype(jnp.float32) + ln_b.astype(jnp.float32)
+    u = jax.nn.gelu(zn, approximate=False).astype(t1.dtype)
+    t2 = jnp.einsum("bhpc,cm->bhpm", u, k2mat.astype(u.dtype),
+                    preferred_element_type=jnp.float32)     # [b, hw, 4, 4c2]
+    z2 = (t2.reshape(b, hw, 16 * c2)
+          + jnp.tile(bias2, 16).astype(jnp.float32)
+          + s0f16.astype(jnp.float32)[None])
+    g = jax.nn.gelu(z2, approximate=False)
+    gh = g * jnp.tile(hyper, (1, 16)).astype(jnp.float32)[:, None, :]
+    seg16 = np.repeat(np.arange(16), c2)
+    seg16 = jnp.asarray(
+        (seg16[:, None] == np.arange(16)[None]).astype(np.float32), t1.dtype)
+    mask = jnp.einsum("bhm,mk->bhk", gh.astype(t1.dtype), seg16,
+                      preferred_element_type=jnp.float32)
+    return mask.astype(t1.dtype)

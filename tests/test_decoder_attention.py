@@ -1,0 +1,124 @@
+"""Correctness of the fused image<-token decoder attention Pallas pass
+(ops/decoder_attention.py) — interpret mode vs the exact unfused formulation,
+plus end-to-end equivalence of the TwoWayTransformer with the fused path
+forced on."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from no_time_to_train_tpu.ops import decoder_attention as da
+
+
+def _inputs(rng, p, n, c, i, t, dtype=jnp.float32, pk=None):
+    return dict(
+        keys=jnp.asarray(rng.standard_normal((pk or p, n, c)) * 0.5, dtype),
+        key_pe=jnp.asarray(rng.standard_normal((n, c)) * 0.5, dtype),
+        tok_k=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, dtype),
+        tok_v=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, dtype),
+        wq=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
+        bq=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
+        wout=jnp.asarray(rng.standard_normal((i, c)) * 0.05, jnp.float32),
+        bout=jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+        norm_w=jnp.asarray(rng.standard_normal(c) * 0.2 + 1, jnp.float32),
+        norm_b=jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("t", [8, 11, 16])
+def test_fused_i2t_norm_interpret(t):
+    rng = np.random.default_rng(0)
+    kw = _inputs(rng, p=4, n=256, c=256, i=128, t=t)
+    got = da.fused_i2t_norm(**kw, num_heads=8, interpret=True)
+    ref = da.fused_i2t_norm_xla(**kw, num_heads=8)
+    assert got.shape == (4, 256, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_i2t_norm_broadcast_keys():
+    """Layer-0 case: shared [1, n, C] keys, per-prompt tokens."""
+    rng = np.random.default_rng(1)
+    kw = _inputs(rng, p=4, n=128, c=256, i=128, t=8, pk=1)
+    got = da.fused_i2t_norm(**kw, num_heads=8, interpret=True)
+    ref = da.fused_i2t_norm_xla(**kw, num_heads=8)
+    assert got.shape == (4, 128, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_i2t_norm_bf16():
+    rng = np.random.default_rng(2)
+    kw = _inputs(rng, p=2, n=128, c=256, i=128, t=8, dtype=jnp.bfloat16)
+    got = da.fused_i2t_norm(**kw, num_heads=8, interpret=True)
+    ref = da.fused_i2t_norm_xla(**kw, num_heads=8)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.06, atol=0.06)
+
+
+def test_transformer_fused_equals_classic(monkeypatch):
+    """TwoWayTransformer output with the fused i2t pass forced on (interpret
+    mode) equals the classic XLA path at decoder geometry."""
+    from no_time_to_train_tpu.models.sam2.transformer import TwoWayTransformer
+    rng = np.random.default_rng(3)
+    d, heads, n_tok, hw_side = 256, 8, 8, 16
+    tr = TwoWayTransformer(depth=2, embedding_dim=d, num_heads=heads,
+                           mlp_dim=512)
+    img = jnp.asarray(
+        rng.standard_normal((3, hw_side, hw_side, d)) * 0.5, jnp.float32)
+    pe = jnp.asarray(
+        rng.standard_normal((3, hw_side, hw_side, d)) * 0.5, jnp.float32)
+    toks = jnp.asarray(rng.standard_normal((3, n_tok, d)) * 0.5, jnp.float32)
+    params = tr.init(jax.random.PRNGKey(0), img, pe, toks)
+
+    q_ref, k_ref = tr.apply(params, img, pe, toks)
+
+    from no_time_to_train_tpu.ops import upscale_product as up
+    monkeypatch.setattr(up, "default_device_is_cpu", lambda: False)
+    monkeypatch.setattr(da, "_INTERPRET", True)
+    q_fused, k_fused = tr.apply(params, img, pe, toks)
+
+    np.testing.assert_allclose(np.asarray(q_fused), np.asarray(q_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(k_fused), np.asarray(k_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("t,pk", [(8, 4), (11, 4), (16, 1)])
+def test_fused_t2i_attn_interpret(t, pk):
+    rng = np.random.default_rng(4)
+    p, n, c, i = 4, 256, 256, 128
+    kw = dict(
+        keys=jnp.asarray(rng.standard_normal((pk, n, c)) * 0.5, jnp.float32),
+        key_pe=jnp.asarray(rng.standard_normal((n, c)) * 0.5, jnp.float32),
+        tok_q=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, jnp.float32),
+        wk=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
+        bk=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
+        wv=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
+        bv=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
+    )
+    got = da.fused_t2i_attn(**kw, num_heads=8, interpret=True, pos_block=64)
+    ref = da.fused_t2i_attn_xla(**kw, num_heads=8)
+    assert got.shape == (p, t, i)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_t2i_attn_bf16():
+    rng = np.random.default_rng(5)
+    p, n, c, i, t = 2, 128, 256, 128, 8
+    kw = dict(
+        keys=jnp.asarray(rng.standard_normal((p, n, c)) * 0.5, jnp.bfloat16),
+        key_pe=jnp.asarray(rng.standard_normal((n, c)) * 0.5, jnp.bfloat16),
+        tok_q=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, jnp.bfloat16),
+        wk=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
+        bk=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
+        wv=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
+        bv=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
+    )
+    got = da.fused_t2i_attn(**kw, num_heads=8, interpret=True, pos_block=64)
+    ref = da.fused_t2i_attn_xla(**kw, num_heads=8)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.06, atol=0.06)

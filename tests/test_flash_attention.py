@@ -92,7 +92,7 @@ def test_default_impl_routing(monkeypatch, rng):
         return att._xla_sdpa(q, k, v, mask)
 
     monkeypatch.setattr(fa, "flash_sdpa", fake_flash)
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(att, "_default_device_is_cpu", lambda: False)
     att.set_default_impl("pallas")
     try:
         q_long = jnp.asarray(rng.standard_normal((1, 2, 1024, 32)),

@@ -1,109 +1,92 @@
-"""Correctness of the experimental fused upscale+product Pallas kernel
-(ops/upscale_product.py) against its pure-XLA reference, interpret mode."""
+"""Correctness of the fused post-t1 upscale Pallas kernel
+(ops/upscale_product.py) — interpret mode vs its XLA reference, and both vs
+the original unfused decoder formulation (conv-transpose semantics)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from no_time_to_train_tpu.ops.upscale_product import (upscale_product,
-                                                      upscale_product_xla)
+from no_time_to_train_tpu.ops.upscale_product import (
+    fused_post_t1, fused_post_t1_xla)
 
 
-def test_upscale_product_interpret():
-    rng = np.random.default_rng(0)
-    b, h, w, c1, c2 = 4, 8, 8, 16, 8
-    u = jnp.asarray(rng.standard_normal((b, h * w * 4, c1), np.float32))
-    k2 = jnp.asarray(rng.standard_normal((c1, 4 * c2), np.float32))
-    bias = jnp.asarray(rng.standard_normal((4 * c2,), np.float32))
-    s0 = jnp.asarray(rng.standard_normal((1, h * w * 4, 4 * c2), np.float32))
-    hyp = jnp.asarray(rng.standard_normal((b, c2), np.float32))
-    got = upscale_product(u, k2, bias, s0, hyp, h, w, interpret=True)
-    ref = upscale_product_xla(u, k2, bias, s0, hyp, h, w)
-    assert got.shape == (b, 4 * h, 4 * w)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
-
-
-def _fused_inputs(rng, b, h, w, d, c1, c2):
-    hw = h * w
+def _inputs(rng, b, hw, c1, c2, dtype=jnp.float32):
     return dict(
-        src_flat=jnp.asarray(rng.standard_normal((b, hw, d)), jnp.float32),
-        k1mat=jnp.asarray(rng.standard_normal((d, 4 * c1)) * 0.1, jnp.float32),
-        bias1=jnp.asarray(rng.standard_normal((4 * c1,)), jnp.float32),
-        s1u=jnp.asarray(rng.standard_normal((hw, 4 * c1)), jnp.float32),
-        ln_w=jnp.asarray(rng.standard_normal((c1,)) * 0.2 + 1, jnp.float32),
-        ln_b=jnp.asarray(rng.standard_normal((c1,)) * 0.1, jnp.float32),
-        k2mat=jnp.asarray(rng.standard_normal((c1, 4 * c2)) * 0.2,
-                          jnp.float32),
-        bias2=jnp.asarray(rng.standard_normal((4 * c2,)), jnp.float32),
-        s0u=jnp.asarray(rng.standard_normal((hw, 4, 4 * c2)), jnp.float32),
+        t1=jnp.asarray(rng.standard_normal((b, hw, 4 * c1)) * 0.7, dtype),
+        bias1_4=jnp.asarray(np.tile(rng.standard_normal(c1), 4), dtype),
+        s1f=jnp.asarray(rng.standard_normal((hw, 4 * c1)) * 0.3, dtype),
+        ln_w=jnp.asarray(rng.standard_normal(c1) * 0.2 + 1.0, jnp.float32),
+        ln_b=jnp.asarray(rng.standard_normal(c1) * 0.1, jnp.float32),
+        k2mat=jnp.asarray(rng.standard_normal((c1, 4 * c2)) * 0.1, dtype),
+        bias2=jnp.asarray(rng.standard_normal(c2), jnp.float32),
+        s0f16=jnp.asarray(rng.standard_normal((hw, 16 * c2)) * 0.3, dtype),
         hyper=jnp.asarray(rng.standard_normal((b, c2)), jnp.float32),
     )
 
 
-def test_fused_upscale_mask_interpret():
-    """The full-chain fused kernel (both deconvs + LN + skips + product)
-    matches its XLA reference in interpret mode."""
-    from no_time_to_train_tpu.ops.upscale_product import (
-        fused_upscale_mask, fused_upscale_mask_xla)
+def test_fused_post_t1_interpret():
+    rng = np.random.default_rng(0)
+    kw = _inputs(rng, b=8, hw=256, c1=64, c2=32)
+    got = fused_post_t1(**kw, interpret=True)
+    ref = fused_post_t1_xla(**kw)
+    assert got.shape == (8, 256, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fused_post_t1_odd_blocks():
+    """Block sizes that don't divide the defaults (pb/pt halving loop)."""
     rng = np.random.default_rng(1)
-    b, h, w, d, c1, c2 = 4, 8, 8, 32, 16, 8
-    kw = _fused_inputs(rng, b, h, w, d, c1, c2)
-    got = fused_upscale_mask(h=h, w=w, prompt_block=2, pos_block=16,
-                             interpret=True, **kw)
-    ref = fused_upscale_mask_xla(h=h, w=w, **kw)
-    assert got.shape == (b, 4 * h, 4 * w)
+    kw = _inputs(rng, b=6, hw=192, c1=64, c2=32)
+    got = fused_post_t1(**kw, interpret=True, prompt_block=4, pos_block=128)
+    ref = fused_post_t1_xla(**kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=3e-5, atol=3e-5)
 
 
-def test_fused_upscale_matches_decoder_path():
-    """fused_upscale_mask_xla (the kernel's contraction) reproduces the
-    decoder's production _upscale_product_unshuffled bit-path on the same
-    random weights — i.e. the kernel computes the real model op, not just
-    its own reference."""
-    import jax
-    from no_time_to_train_tpu.models.sam2.mask_decoder import MaskDecoder
-    from no_time_to_train_tpu.ops.upscale_product import (
-        fused_upscale_mask, fused_upscale_mask_xla)
-
+def test_fused_post_t1_xla_matches_unfused_chain():
+    """The flat formulation equals the original decoder chain: deconv-phase
+    reshape + LayerNorm over c1 + GELU + second deconv + skips + GELU +
+    per-prompt hypernetwork product (same sums, reassociated)."""
     rng = np.random.default_rng(2)
-    d, h, w, b = 64, 8, 8, 4
-    c1, c2 = d // 4, d // 8
-    dec = MaskDecoder(transformer_dim=d, use_high_res_features=True,
-                      transformer_depth=1, transformer_mlp_dim=32,
-                      transformer_num_heads=2)
-    src_flat = jnp.asarray(rng.standard_normal((b, h * w, d)), jnp.float32)
-    hyper = jnp.asarray(rng.standard_normal((b, c2)), jnp.float32)
-    feat_s0 = jnp.asarray(rng.standard_normal((1, 4 * h, 4 * w, c2)),
-                          jnp.float32)
-    feat_s1 = jnp.asarray(rng.standard_normal((1, 2 * h, 2 * w, c1)),
-                          jnp.float32)
-    params = dec.init(jax.random.PRNGKey(0),
-                      src_flat, hyper, h, w, (feat_s0, feat_s1),
-                      method=dec._upscale_product_unshuffled)["params"]
-    ref = dec.apply({"params": params}, src_flat, hyper, h, w,
-                    (feat_s0, feat_s1),
-                    method=dec._upscale_product_unshuffled)
+    b, h, w, c1, c2 = 4, 8, 8, 64, 32
+    hw = h * w
+    kw = _inputs(rng, b=b, hw=hw, c1=c1, c2=c2)
 
-    k1 = params["output_upscaling_0_weight"]
-    k2 = params["output_upscaling_3_weight"]
-    kw = dict(
-        src_flat=src_flat,
-        k1mat=k1.transpose(0, 2, 3, 1).reshape(d, 4 * c1),
-        bias1=jnp.tile(params["output_upscaling_0_bias"], 4),
-        s1u=feat_s1.reshape(h, 2, w, 2, c1).transpose(0, 2, 1, 3, 4)
-        .reshape(h * w, 4 * c1),
-        ln_w=params["output_upscaling_1"]["weight"],
-        ln_b=params["output_upscaling_1"]["bias"],
-        k2mat=k2.transpose(0, 2, 3, 1).reshape(c1, 4 * c2),
-        bias2=jnp.tile(params["output_upscaling_3_bias"], 4),
-        s0u=feat_s0.reshape(h, 2, 2, w, 2, 2, c2)
-        .transpose(0, 3, 1, 4, 2, 5, 6).reshape(h * w, 4, 4 * c2),
-        hyper=hyper,
-    )
-    got_xla = fused_upscale_mask_xla(h=h, w=w, **kw)
-    np.testing.assert_allclose(np.asarray(got_xla), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-    got = fused_upscale_mask(h=h, w=w, prompt_block=4, pos_block=32,
-                             interpret=True, **kw)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
+    t8 = (kw["t1"].reshape(b, hw, 4, c1) + kw["bias1_4"].reshape(4, c1)
+          + kw["s1f"].reshape(1, hw, 4, c1))
+    mu = t8.mean(-1, keepdims=True)
+    var = jnp.square(t8 - mu).mean(-1, keepdims=True)
+    zn = (t8 - mu) * jax.lax.rsqrt(var + 1e-6) * kw["ln_w"] + kw["ln_b"]
+    u = jax.nn.gelu(zn, approximate=False)
+    t2 = jnp.einsum("bhpc,cm->bhpm", u, kw["k2mat"])     # [b, hw, 4, 4c2]
+    z2 = (t2.reshape(b, hw, 4, 4, c2)
+          + kw["bias2"]
+          + kw["s0f16"].reshape(1, hw, 4, 4, c2))
+    g = jax.nn.gelu(z2, approximate=False)
+    ref = jnp.einsum("bc,bhpqc->bhpq", kw["hyper"], g).reshape(b, hw, 16)
+
+    for got in (fused_post_t1_xla(**kw),
+                fused_post_t1(**kw, interpret=True)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_fused_post_t1_phase_interleave():
+    """The decoder's [B, hw, 16] -> [B, 4h, 4w] interleave places phase
+    (dy1, dx1, dy2, dx2) at output pixel (4y+2dy1+dy2, 4x+2dx1+dx2)."""
+    b, h, w = 1, 2, 2
+    hw = h * w
+    mask16 = np.zeros((b, hw, 16), np.float32)
+    # encode each (position, phase) uniquely
+    for pos in range(hw):
+        for ph in range(16):
+            mask16[0, pos, ph] = pos * 100 + ph
+    m = (jnp.asarray(mask16).reshape(b, h, w, 2, 2, 2, 2)
+         .transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, 4 * h, 4 * w))
+    m = np.asarray(m)
+    for y in range(4 * h):
+        for x in range(4 * w):
+            pos = (y // 4) * w + (x // 4)
+            ph = ((y % 4) // 2) * 8 + ((x % 4) // 2) * 4 \
+                + (y % 2) * 2 + (x % 2)
+            assert m[0, y, x] == pos * 100 + ph, (y, x)
