@@ -240,12 +240,10 @@ class MaskDecoder(nn.Module):
         c1, c2 = d // 4, d // 8
         hw = h * w
 
-        # First deconv as ONE lane-full GEMM [b*hw, d] @ [d, 4*c1] — cols
-        # (dy1, dx1, c1). The raw (bias-free) output feeds the fused kernel.
+        # First deconv: one lane-full GEMM [b*hw, d] @ [d, 4*c1] — cols
+        # (dy1, dx1, c1). On TPU it runs INSIDE the fused kernel (k1mat
+        # passed below) so the raw t1 never reaches HBM.
         k1 = self.upscale_dc1_kernel.transpose(0, 2, 3, 1).reshape(d, 4 * c1)
-        t1 = jnp.dot(src_flat.reshape(b * hw, d), k1.astype(src_flat.dtype),
-                     preferred_element_type=src_flat.dtype)
-        t1 = t1.reshape(b, hw, 4 * c1)
         bias1_4 = jnp.tile(self.upscale_dc1_bias, 4)
 
         if high_res_features is not None:
@@ -259,24 +257,33 @@ class MaskDecoder(nn.Module):
             s0f16 = feat_s0.reshape(h, 2, 2, w, 2, 2, c2) \
                 .transpose(0, 3, 1, 4, 2, 5, 6).reshape(hw, 16 * c2)
         else:
-            s1f = jnp.zeros((hw, 4 * c1), t1.dtype)
-            s0f16 = jnp.zeros((hw, 16 * c2), t1.dtype)
+            s1f = jnp.zeros((hw, 4 * c1), src_flat.dtype)
+            s0f16 = jnp.zeros((hw, 16 * c2), src_flat.dtype)
 
         k2 = self.upscale_dc2_kernel.transpose(0, 2, 3, 1).reshape(c1, 4 * c2)
         ln = self.upscale_ln.variables["params"]
 
-        # Everything after the t1 GEMM — +bias+skip, LN over c1, GELU, second
-        # deconv GEMM, +bias+skip, GELU, hypernetwork product — runs in ONE
-        # Pallas pass (TPU): the XLA lowering materializes the [b, hw*4, *]
-        # intermediates through a half-lane (c1=64) LN/GELU fusion + t2 GEMM
-        # + product epilogue profiled at ~52 ms/step at flagship shapes.
-        # Same contractions, fp32 stats/accumulation (ops/upscale_product).
+        # The whole chain — first deconv GEMM, +bias+skip, LN over c1, GELU,
+        # second deconv GEMM, +bias+skip, GELU, hypernetwork product — runs
+        # in ONE Pallas pass (TPU): the XLA lowering materializes the
+        # [b, hw*4, *] intermediates through a half-lane (c1=64) LN/GELU
+        # fusion + t2 GEMM + product epilogue profiled at ~52 ms/step at
+        # flagship shapes. Same contractions, fp32 stats/accumulation
+        # (ops/upscale_product).
         from no_time_to_train_tpu.ops.upscale_product import (
             default_device_is_cpu, fused_post_t1, fused_post_t1_xla)
-        impl = fused_post_t1_xla if default_device_is_cpu() else fused_post_t1
-        mask16 = impl(t1, bias1_4, s1f, ln["weight"], ln["bias"], k2,
-                      self.upscale_dc2_bias, s0f16, hyper,
-                      eps=self.upscale_ln.eps)
+        src3 = src_flat.reshape(b, hw, d)
+        if default_device_is_cpu():
+            t1 = jnp.einsum("bhd,dm->bhm", src3, k1.astype(src3.dtype),
+                            preferred_element_type=src3.dtype)
+            mask16 = fused_post_t1_xla(
+                t1, bias1_4, s1f, ln["weight"], ln["bias"], k2,
+                self.upscale_dc2_bias, s0f16, hyper, eps=self.upscale_ln.eps)
+        else:
+            mask16 = fused_post_t1(
+                src3, bias1_4, s1f, ln["weight"], ln["bias"], k2,
+                self.upscale_dc2_bias, s0f16, hyper, k1mat=k1,
+                eps=self.upscale_ln.eps)
         # [b, (y, x), (dy1, dx1, dy2, dx2)] -> (b, y, dy1, dy2, x, dx1, dx2)
         mask = (mask16.reshape(b, h, w, 2, 2, 2, 2)
                 .transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, 4 * h, 4 * w))

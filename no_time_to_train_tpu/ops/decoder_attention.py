@@ -82,7 +82,7 @@ def _i2t_kernel(keys_ref, pe_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
 
 
 def fused_i2t_norm(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout, norm_w,
-                   norm_b, *, num_heads, eps=1e-5, pos_block=512,
+                   norm_b, *, num_heads, eps=1e-5, pos_block=1024,
                    interpret=False):
     """keys: [Pk, n, C] (Pk == P, or 1 broadcast across prompts — layer 0);
     key_pe: [n, C] or [Pe, n, C] (Pe in {1, P});
@@ -232,7 +232,7 @@ def _t2i_kernel(keys_ref, pe_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
 
 
 def fused_t2i_attn(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads,
-                   pos_block=1024, interpret=False):
+                   pos_block=2048, interpret=False):
     """Token->image cross-attention core with in-kernel k/v projections.
 
     keys: [Pk, n, C] (Pk == P or 1); key_pe: [n, C] / [Pe, n, C] (zeros ok);

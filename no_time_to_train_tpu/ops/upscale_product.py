@@ -10,8 +10,9 @@ consumes that RAW output and keeps everything else in VMEM:
   * LayerNorm over each 64-wide c1 segment with the statistics computed as
     MXU dots against segment indicators — [rows, 256] stays lane-full, no
     cross-lane VPU reductions;
-  * the second deconv contracts a 4x block-diagonal [4*c1, 16*c2] copy of
-    k2, so all four (dy1, dx1) quarters run in ONE K=256 MXU GEMM;
+  * the second deconv runs as four lane-sliced K=c1 GEMMs against the
+    shared [c1, 4*c2] k2 (a 4x block-diagonal single-GEMM variant was
+    measured 4x the FLOPs and ~5.6 ms/chunk of MXU time);
   * the hypernetwork product folds the prompt's tiled hyper vector
     elementwise and contracts (phase, c2) with a [16*c2, 16] indicator on
     the MXU, emitting the 16 subpixel phases on the lane axis.
@@ -77,12 +78,11 @@ def default_device_is_cpu():
     return jax.default_backend() == "cpu"
 
 
-def _post_t1_kernel(t1_ref, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
-                    b2_ref, s0_ref, hyp_ref, segln_ref, seglnT_ref,
-                    seg16_ref, o_ref, *, eps):
-    """One [pb, pt, 4*c1] block of the post-t1 chain (see module doc)."""
-    pb, pt, m1 = t1_ref.shape
-    z3 = (t1_ref[...].astype(jnp.float32)
+def _chain_body(t1, pb, pt, m1, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
+                b2_ref, s0_ref, hyp_ref, segln_ref, seglnT_ref, seg16_ref,
+                o_ref, eps):
+    """Shared post-t1 chain on an in-VMEM [pb*pt, 4*c1] t1 block."""
+    z3 = (t1.reshape(pb, pt, m1).astype(jnp.float32)
           + b1_ref[0].astype(jnp.float32)
           + s1_ref[...].astype(jnp.float32)[None])
     z = z3.reshape(pb * pt, m1)
@@ -97,7 +97,16 @@ def _post_t1_kernel(t1_ref, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
         + lnb4_ref[0].astype(jnp.float32)
     u = _gelu(zn).astype(k2bd_ref.dtype)
 
-    t2 = jnp.dot(u, k2bd_ref[...], preferred_element_type=jnp.float32)
+    # second deconv: each (dy1, dx1) quarter contracts its own c1 block.
+    # Four lane-sliced K=c1 GEMMs beat one [4c1, 16c2] block-diagonal GEMM —
+    # the block-diag form burns 4x the FLOPs (measured 1.1 TFLOP/chunk,
+    # ~5.6 ms of MXU time at flagship shapes, for 69 GFLOP of useful work)
+    c1 = m1 // 4
+    k2 = k2bd_ref[...]
+    t2 = jnp.concatenate(
+        [jnp.dot(u[:, q * c1:(q + 1) * c1], k2,
+                 preferred_element_type=jnp.float32) for q in range(4)],
+        axis=-1)
     m2 = t2.shape[-1]
     z2 = (t2.reshape(pb, pt, m2)
           + b2_ref[0].astype(jnp.float32)
@@ -108,8 +117,35 @@ def _post_t1_kernel(t1_ref, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
     o_ref[...] = mask.reshape(pb, pt, 16).astype(o_ref.dtype)
 
 
+def _post_t1_kernel(t1_ref, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
+                    b2_ref, s0_ref, hyp_ref, segln_ref, seglnT_ref,
+                    seg16_ref, o_ref, *, eps):
+    """One [pb, pt, 4*c1] block of the post-t1 chain (see module doc)."""
+    pb, pt, m1 = t1_ref.shape
+    _chain_body(t1_ref[...].reshape(pb * pt, m1), pb, pt, m1, b1_ref, s1_ref,
+                lnw4_ref, lnb4_ref, k2bd_ref, b2_ref, s0_ref, hyp_ref,
+                segln_ref, seglnT_ref, seg16_ref, o_ref, eps)
+
+
+def _from_src_kernel(src_ref, k1_ref, b1_ref, s1_ref, lnw4_ref, lnb4_ref,
+                     k2bd_ref, b2_ref, s0_ref, hyp_ref, segln_ref,
+                     seglnT_ref, seg16_ref, o_ref, *, eps):
+    """Like _post_t1_kernel but computes the first-deconv GEMM in-kernel
+    (K=d, N=4*c1 — a full-MXU op), so the [B, hw, 4*c1] t1 tensor never
+    reaches HBM: input is the transformer's src_out block [pb, pt, d]."""
+    pb, pt, d = src_ref.shape
+    m1 = k1_ref.shape[1]
+    # fp32 accumulation + round to the compute dtype == XLA's bf16 dot
+    t1 = jnp.dot(src_ref[...].reshape(pb * pt, d), k1_ref[...],
+                 preferred_element_type=jnp.float32).astype(src_ref.dtype)
+    _chain_body(t1, pb, pt, m1, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
+                b2_ref, s0_ref, hyp_ref, segln_ref, seglnT_ref, seg16_ref,
+                o_ref, eps)
+
+
 def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
-                  *, eps=1e-6, prompt_block=8, pos_block=128, interpret=False):
+                  *, k1mat=None, eps=1e-6, prompt_block=8, pos_block=256,
+                  interpret=False):
     """Fused LN + GELU + second deconv + skip + GELU + hypernetwork product,
     consuming the RAW first-deconv GEMM output.
 
@@ -119,9 +155,14 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
     ln_w/ln_b: [c1]; k2mat: [c1, 4*c2] cols (dy2, dx2, c2); bias2: [c2];
     s0f16: [hw, 16*c2] cols (dy1, dx1, dy2, dx2, c2) (zeros if unused);
     hyper: [B, c2]. Returns mask [B, hw, 16] (t1 dtype), cols
-    (dy1, dx1, dy2, dx2) — the caller interleaves to [B, 4h, 4w]."""
-    b, hw, m1 = t1.shape
+    (dy1, dx1, dy2, dx2) — the caller interleaves to [B, 4h, 4w].
+
+    When `k1mat` ([d, 4*c1]) is given, the first argument is the
+    transformer's src_out [B, hw, d] instead of t1 and the first-deconv GEMM
+    runs in-kernel — the [B, hw, 4*c1] t1 never reaches HBM."""
+    b, hw, m_in = t1.shape
     c2 = k2mat.shape[1] // 4
+    m1 = m_in if k1mat is None else k1mat.shape[1]
     c1 = m1 // 4
     assert k2mat.shape == (c1, 4 * c2) and s1f.shape == (hw, m1)
     assert s0f16.shape == (hw, 16 * c2) and hyper.shape == (b, c2)
@@ -134,50 +175,60 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
     if not interpret and pb % 8 and pb != b:
         # Mosaic needs the prompt block sublane-divisible; odd prompt counts
         # (never the flagship 256/chunk) take the XLA formulation
+        if k1mat is not None:
+            t1 = jnp.einsum("bhd,dm->bhm", t1, k1mat.astype(t1.dtype),
+                            preferred_element_type=t1.dtype)
         return fused_post_t1_xla(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2,
                                  s0f16, hyper, eps=eps)
     grid = (b // pb, hw // pt)
     dt = t1.dtype
 
-    # K2bd[(p1, c), (p1', m)] = k2[c, m] * (p1 == p1'): the four (dy1, dx1)
-    # quarters contract their own c1 block in ONE lane-full MXU GEMM
-    k2bd = jnp.einsum("cm,pq->pcqm", k2mat.astype(jnp.float32),
-                      jnp.eye(4, dtype=jnp.float32))
-    k2bd = k2bd.reshape(m1, 16 * c2).astype(dt)
+    k2bd = k2mat.astype(dt)                  # [c1, 4*c2], shared per quarter
     seg = np.repeat(np.arange(4), c1)
     segln = (seg[:, None] == np.arange(8)[None]).astype(np.float32) / c1
     seglnT = (np.arange(8)[:, None] == seg[None]).astype(np.float32)
     seg16 = np.repeat(np.arange(16), c2)
     seg16 = (seg16[:, None] == np.arange(16)[None]).astype(np.float32)
 
+    specs = [
+        pl.BlockSpec((pb, pt, m_in), lambda p, t: (p, t, 0)),
+        pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
+        pl.BlockSpec((pt, m1), lambda p, t: (t, 0)),
+        pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
+        pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
+        pl.BlockSpec((c1, 4 * c2), lambda p, t: (0, 0)),
+        pl.BlockSpec((1, 16 * c2), lambda p, t: (0, 0)),
+        pl.BlockSpec((pt, 16 * c2), lambda p, t: (t, 0)),
+        pl.BlockSpec((pb, 16 * c2), lambda p, t: (p, 0)),
+        pl.BlockSpec((m1, 8), lambda p, t: (0, 0)),
+        pl.BlockSpec((8, m1), lambda p, t: (0, 0)),
+        pl.BlockSpec((16 * c2, 16), lambda p, t: (0, 0)),
+    ]
+    operands = [
+        t1, bias1_4[None].astype(dt), s1f.astype(dt),
+        jnp.tile(ln_w, 4)[None].astype(jnp.float32),
+        jnp.tile(ln_b, 4)[None].astype(jnp.float32),
+        k2bd, jnp.tile(bias2, 16)[None].astype(jnp.float32),
+        s0f16.astype(dt), jnp.tile(hyper, (1, 16)).astype(jnp.float32),
+        jnp.asarray(segln), jnp.asarray(seglnT), jnp.asarray(seg16, dt),
+    ]
+    if k1mat is None:
+        kernel = functools.partial(_post_t1_kernel, eps=eps)
+    else:
+        kernel = functools.partial(_from_src_kernel, eps=eps)
+        specs.insert(1, pl.BlockSpec((m_in, m1), lambda p, t: (0, 0)))
+        operands.insert(1, k1mat.astype(dt))
+
     out = pl.pallas_call(
-        functools.partial(_post_t1_kernel, eps=eps),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((pb, pt, m1), lambda p, t: (p, t, 0)),
-            pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
-            pl.BlockSpec((pt, m1), lambda p, t: (t, 0)),
-            pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
-            pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
-            pl.BlockSpec((m1, 16 * c2), lambda p, t: (0, 0)),
-            pl.BlockSpec((1, 16 * c2), lambda p, t: (0, 0)),
-            pl.BlockSpec((pt, 16 * c2), lambda p, t: (t, 0)),
-            pl.BlockSpec((pb, 16 * c2), lambda p, t: (p, 0)),
-            pl.BlockSpec((m1, 8), lambda p, t: (0, 0)),
-            pl.BlockSpec((8, m1), lambda p, t: (0, 0)),
-            pl.BlockSpec((16 * c2, 16), lambda p, t: (0, 0)),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((pb, pt, 16), lambda p, t: (p, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hw, 16), dt),
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")))),
-    )(t1, bias1_4[None].astype(dt), s1f.astype(dt),
-      jnp.tile(ln_w, 4)[None].astype(jnp.float32),
-      jnp.tile(ln_b, 4)[None].astype(jnp.float32),
-      k2bd, jnp.tile(bias2, 16)[None].astype(jnp.float32),
-      s0f16.astype(dt), jnp.tile(hyper, (1, 16)).astype(jnp.float32),
-      jnp.asarray(segln), jnp.asarray(seglnT), jnp.asarray(seg16, dt))
+    )(*operands)
     return out
 
 

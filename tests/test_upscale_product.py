@@ -90,3 +90,19 @@ def test_fused_post_t1_phase_interleave():
             ph = ((y % 4) // 2) * 8 + ((x % 4) // 2) * 4 \
                 + (y % 2) * 2 + (x % 2)
             assert m[0, y, x] == pos * 100 + ph, (y, x)
+
+
+def test_fused_from_src_interpret():
+    """k1mat path: the first-deconv GEMM runs in-kernel; equals XLA t1 GEMM
+    + fused_post_t1_xla."""
+    rng = np.random.default_rng(7)
+    b, hw, d, c1, c2 = 8, 256, 256, 64, 32
+    kw = _inputs(rng, b=b, hw=hw, c1=c1, c2=c2)
+    src = jnp.asarray(rng.standard_normal((b, hw, d)) * 0.5, jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((d, 4 * c1)) * 0.05, jnp.float32)
+    kw.pop("t1")
+    got = fused_post_t1(src, **kw, k1mat=k1, interpret=True)
+    t1 = jnp.einsum("bhd,dm->bhm", src, k1)
+    ref = fused_post_t1_xla(t1, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
