@@ -122,3 +122,50 @@ def test_fused_t2i_attn_bf16():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.06, atol=0.06)
+
+
+def _tpu_device():
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    return tpus[0] if tpus else None
+
+
+def test_fused_i2t_norm_tpu_parity():
+    """Compiled (non-interpret) kernel vs the XLA reference on the real TPU
+    at decoder geometry (the conftest pins default device to CPU, so commit
+    the operands to the TPU explicitly)."""
+    dev = _tpu_device()
+    if dev is None:
+        pytest.skip("no TPU device available")
+    rng = np.random.default_rng(10)
+    kw = _inputs(rng, p=8, n=4096, c=256, i=128, t=8, dtype=jnp.bfloat16)
+    kw = {k: jax.device_put(v, dev) for k, v in kw.items()}
+    got = np.asarray(jax.jit(
+        lambda **a: da.fused_i2t_norm(**a, num_heads=8))(**kw), np.float32)
+    ref = np.asarray(jax.jit(
+        lambda **a: da.fused_i2t_norm_xla(**a, num_heads=8))(**kw),
+        np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.08, rtol=0.08)
+
+
+def test_fused_t2i_attn_tpu_parity():
+    dev = _tpu_device()
+    if dev is None:
+        pytest.skip("no TPU device available")
+    rng = np.random.default_rng(11)
+    p, n, c, i, t = 8, 4096, 256, 128, 8
+    kw = dict(
+        keys=jnp.asarray(rng.standard_normal((p, n, c)) * 0.5, jnp.bfloat16),
+        key_pe=jnp.asarray(rng.standard_normal((n, c)) * 0.5, jnp.bfloat16),
+        tok_q=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, jnp.bfloat16),
+        wk=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
+        bk=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
+        wv=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
+        bv=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
+    )
+    kw = {k: jax.device_put(v, dev) for k, v in kw.items()}
+    got = np.asarray(jax.jit(
+        lambda **a: da.fused_t2i_attn(**a, num_heads=8))(**kw), np.float32)
+    ref = np.asarray(jax.jit(
+        lambda **a: da.fused_t2i_attn_xla(**a, num_heads=8))(**kw),
+        np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.08, rtol=0.08)

@@ -106,3 +106,29 @@ def test_fused_from_src_interpret():
     ref = fused_post_t1_xla(t1, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_fused_post_t1_tpu_parity():
+    """Compiled (non-interpret) kernel (k1mat in-kernel GEMM path) vs the
+    XLA reference on the real TPU at flagship-like shapes."""
+    import pytest
+    import jax
+    dev = next((d for d in jax.devices() if d.platform != "cpu"), None)
+    if dev is None:
+        pytest.skip("no TPU device available")
+    rng = np.random.default_rng(12)
+    b, hw, d, c1, c2 = 16, 4096, 256, 64, 32
+    kw = _inputs(rng, b=b, hw=hw, c1=c1, c2=c2, dtype=jnp.bfloat16)
+    src = jnp.asarray(rng.standard_normal((b, hw, d)) * 0.5, jnp.bfloat16)
+    k1 = jnp.asarray(rng.standard_normal((d, 4 * c1)) * 0.05, jnp.bfloat16)
+    kw.pop("t1")
+    kw = {k: jax.device_put(v, dev) for k, v in kw.items()}
+    src, k1 = jax.device_put(src, dev), jax.device_put(k1, dev)
+    got = np.asarray(jax.jit(
+        lambda s, kk, **a: fused_post_t1(s, **a, k1mat=kk))(src, k1, **kw),
+        np.float32)
+    t1 = jnp.einsum("bhd,dm->bhm", src, k1,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    ref = np.asarray(jax.jit(fused_post_t1_xla)(
+        jax.device_put(t1, dev), **kw), np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.1, rtol=0.1)
