@@ -226,15 +226,16 @@ class MaskDecoder(nn.Module):
         deconv's natural (unshuffled) layout.
 
         The shuffled formulation (conv_transpose -> subpixel shuffle -> LN ->
-        GELU -> conv_transpose -> product) makes XLA materialize the [B,2H,2W,
-        C/4] intermediate through a strided relayout and lower deconv2+product
-        as a tiny-channel convolution fusion (~8 TFLOP/s measured). Here both
-        deconvs are flat GEMMs with lane-friendly N (256/128); LN/GELU/skip
-        adds run on the GEMM output layout [B,h,w,2,2,C'] (channels-last, so
-        per-pixel stats are unchanged), the skip features are pre-transposed
-        once into that layout, and only the final [B,4h,4w] mask is
-        re-ordered. Every value equals the shuffled path bit-for-bit: same
-        dot products, same per-pixel LN vectors, only row order differs."""
+        GELU -> conv_transpose -> product, the classic path above) makes XLA
+        materialize the [B,2H,2W,C/4] intermediate through a strided relayout
+        and lower deconv2+product as a tiny-channel convolution fusion (~8
+        TFLOP/s measured). Here the whole chain runs in the flat GEMM layout
+        — rows (y, x), cols (phase, channel), skip features pre-transposed
+        once — as ONE Pallas pass on TPU (ops/upscale_product.fused_post_t1,
+        first deconv GEMM in-kernel) or its XLA twin on CPU, and only the
+        final [B,4h,4w] mask is re-ordered. Same dot products and per-pixel
+        LN vectors as the shuffled path, fp32 stats/accumulation; only row
+        order differs."""
         b = src_flat.shape[0]
         d = self.transformer_dim
         c1, c2 = d // 4, d // 8

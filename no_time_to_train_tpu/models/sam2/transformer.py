@@ -69,14 +69,16 @@ class Attention(nn.Module):
         """Image<-token cross-attention + residual + LayerNorm via the fused
         Pallas pass (ops/decoder_attention.py): equivalent to
         `norm(keys + self(keys + key_pe, tok_q_in, tok_v_in))` with keys read
-        from HBM once. Token-side projections stay in XLA (tiny)."""
+        from HBM once. Token-side projections and the (shared) pe projection
+        stay in XLA (tiny)."""
         from no_time_to_train_tpu.ops.decoder_attention import fused_i2t_norm
         tok_k = self.k_proj(tok_q_in)
         tok_v = self.v_proj(tok_v_in)
         pq = self.q_proj.variables["params"]
         po = self.out_proj.variables["params"]
+        pe_q = key_pe @ pq["kernel"].astype(key_pe.dtype)
         return fused_i2t_norm(
-            keys, key_pe, tok_k, tok_v, pq["kernel"], pq["bias"],
+            keys, pe_q, tok_k, tok_v, pq["kernel"], pq["bias"],
             po["kernel"], po["bias"], norm.weight, norm.bias,
             num_heads=self.num_heads, eps=norm.eps)
 
@@ -89,7 +91,8 @@ class Attention(nn.Module):
         tq = self.q_proj(tok_q_in)
         pk_ = self.k_proj.variables["params"]
         pv_ = self.v_proj.variables["params"]
-        o = fused_t2i_attn(keys, key_pe, tq, pk_["kernel"], pk_["bias"],
+        pe_k = key_pe @ pk_["kernel"].astype(key_pe.dtype)
+        o = fused_t2i_attn(keys, pe_k, tq, pk_["kernel"], pk_["bias"],
                            pv_["kernel"], pv_["bias"],
                            num_heads=self.num_heads)
         return self.out_proj(o)

@@ -48,22 +48,25 @@ except Exception:  # pragma: no cover
 _INTERPRET = False
 
 
-def _i2t_kernel(keys_ref, pe_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
+def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
                 wout_ref, bout_ref, nw_ref, nb_ref, seg_ref, segT_ref, o_ref,
                 *, sm_scale, eps, elem_f32):
     keys = keys_ref[0]                                   # [bq, C]
-    x = keys + pe_ref[0]
-    qi = jnp.dot(x, wq_ref[...], preferred_element_type=jnp.float32)
-    qi = ((qi + bq_ref[0].astype(jnp.float32)) * sm_scale).astype(x.dtype)
+    # key_pe enters pre-projected: (keys + pe) @ Wq == keys @ Wq + pe @ Wq,
+    # and the [n, I] projection is 4x smaller than re-streaming [n, C] pe
+    # for every prompt block
+    qi = jnp.dot(keys, wq_ref[...], preferred_element_type=jnp.float32)
+    qi = ((qi + peq_ref[0].astype(jnp.float32)
+           + bq_ref[0].astype(jnp.float32)) * sm_scale).astype(keys.dtype)
     s = jnp.dot(qi, kbd_ref[0], preferred_element_type=jnp.float32)
     s = s + bias_ref[0].astype(jnp.float32)              # [bq, H*Np]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l8 = jnp.dot(e, seg_ref[...], preferred_element_type=jnp.float32)
     lb = jnp.dot(1.0 / l8, segT_ref[...], preferred_element_type=jnp.float32)
-    p = (e * lb).astype(x.dtype)
+    p = (e * lb).astype(keys.dtype)
     attn = jnp.dot(p, vbd_ref[0], preferred_element_type=jnp.float32)
-    y = jnp.dot(attn.astype(x.dtype), wout_ref[...],
+    y = jnp.dot(attn.astype(keys.dtype), wout_ref[...],
                 preferred_element_type=jnp.float32)
     y = y + bout_ref[0].astype(jnp.float32)
     # residual + norm4, mirroring common._layer_norm: the residual rounds to
@@ -81,20 +84,22 @@ def _i2t_kernel(keys_ref, pe_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
     o_ref[0] = z.astype(o_ref.dtype)
 
 
-def fused_i2t_norm(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout, norm_w,
+def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
                    norm_b, *, num_heads, eps=1e-5, pos_block=1024,
                    interpret=False):
     """keys: [Pk, n, C] (Pk == P, or 1 broadcast across prompts — layer 0);
-    key_pe: [n, C] or [Pe, n, C] (Pe in {1, P});
+    pe_q: [n, I] or [Pe, n, I] — the key positional encoding ALREADY pushed
+    through the q-projection (pe @ Wq, no bias): (keys + pe) @ Wq
+    decomposes, and the projected form is 4x smaller per streamed block;
     tok_k/tok_v: [P, T, I] token-side projections (T <= 16);
     wq: [C, I]; bq: [I]; wout: [I, C]; bout: [C]; norm_w/b: [C].
     Returns LayerNorm(keys + attn_out) [P, n, C] (keys dtype)."""
     interpret = interpret or _INTERPRET
     p_, t, i = tok_k.shape
     pk, n, c = keys.shape
-    if key_pe.ndim == 2:
-        key_pe = key_pe[None]
-    pe_b = key_pe.shape[0]
+    if pe_q.ndim == 2:
+        pe_q = pe_q[None]
+    pe_b = pe_q.shape[0]
     h = num_heads
     dh = i // h
     np_ = 16
@@ -133,7 +138,7 @@ def fused_i2t_norm(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout, norm_w,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq_pos, c), k_idx),
-            pl.BlockSpec((1, bq_pos, c), pe_idx),
+            pl.BlockSpec((1, bq_pos, i), pe_idx),
             pl.BlockSpec((1, i, h * np_), lambda p, b: (p, 0, 0)),
             pl.BlockSpec((1, h * np_), lambda p, b: (0, 0)),
             pl.BlockSpec((1, h * np_, i), lambda p, b: (p, 0, 0)),
@@ -151,14 +156,14 @@ def fused_i2t_norm(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout, norm_w,
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")))),
-    )(keys.astype(dt), key_pe.astype(dt), kbd, pad_bias, vbd,
+    )(keys.astype(dt), pe_q.astype(dt), kbd, pad_bias, vbd,
       wq.astype(dt), bq[None].astype(jnp.float32), wout.astype(dt),
       bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
       norm_b[None].astype(jnp.float32), seg, segT)
     return out
 
 
-def fused_i2t_norm_xla(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout,
+def fused_i2t_norm_xla(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout,
                        norm_w, norm_b, *, num_heads, eps=1e-5):
     """Pure-XLA reference for fused_i2t_norm (tests/CPU fallback) — the exact
     unfused formulation: q-projection, per-head SDPA, out-projection,
@@ -169,10 +174,10 @@ def fused_i2t_norm_xla(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout,
     pk, n, c = keys.shape
     h = num_heads
     dh = i // h
-    x = keys + (key_pe if key_pe.ndim == 3 else key_pe[None])
-    qi = (x.reshape(pk * n, c) @ wq.astype(x.dtype)).reshape(pk, n, i) \
-        + bq.astype(x.dtype)
-    qi = jnp.broadcast_to(qi, (p_, n, i))
+    peq = pe_q if pe_q.ndim == 3 else pe_q[None]
+    qi = (keys.reshape(pk * n, c) @ wq.astype(keys.dtype)).reshape(pk, n, i) \
+        + peq.astype(keys.dtype) + bq.astype(keys.dtype)
+    qi = jnp.broadcast_to(qi, (max(p_, peq.shape[0]), n, i))
 
     def split(z):
         b, m, _ = z.shape
@@ -186,7 +191,7 @@ def fused_i2t_norm_xla(keys, key_pe, tok_k, tok_v, wq, bq, wout, bout,
     return _layer_norm(r, norm_w, norm_b, eps, keys.dtype)
 
 
-def _t2i_kernel(keys_ref, pe_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
+def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, o_ref, m_ref, l_ref, acc_ref, *, n_blocks):
     """Token->image attention with the k/v projections in-kernel and online
     softmax over the streamed image blocks.
@@ -205,9 +210,10 @@ def _t2i_kernel(keys_ref, pe_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     keys = keys_ref[0]                                    # [bk, C]
-    x = keys + pe_ref[0]
-    kk = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32)
-    kk = (kk + bk_ref[0].astype(jnp.float32)).astype(keys.dtype)
+    # key_pe enters pre-projected through Wk (see fused_i2t_norm)
+    kk = jnp.dot(keys, wk_ref[...], preferred_element_type=jnp.float32)
+    kk = (kk + pek_ref[0].astype(jnp.float32)
+          + bk_ref[0].astype(jnp.float32)).astype(keys.dtype)
     vv = jnp.dot(keys, wv_ref[...], preferred_element_type=jnp.float32)
     vv = (vv + bv_ref[0].astype(jnp.float32)).astype(keys.dtype)
 
@@ -231,11 +237,12 @@ def _t2i_kernel(keys_ref, pe_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
         o_ref[0] = (acc_ref[...] * linv).astype(o_ref.dtype)
 
 
-def fused_t2i_attn(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads,
+def fused_t2i_attn(keys, pe_k, tok_q, wk, bk, wv, bv, *, num_heads,
                    pos_block=2048, interpret=False):
     """Token->image cross-attention core with in-kernel k/v projections.
 
-    keys: [Pk, n, C] (Pk == P or 1); key_pe: [n, C] / [Pe, n, C] (zeros ok);
+    keys: [Pk, n, C] (Pk == P or 1); pe_k: [n, I] / [Pe, n, I] — key
+    positional encoding pre-projected through Wk (pe @ Wk, no bias);
     tok_q: [P, T, I] token-side q-projection output, PRE-scaled is not
     required (1/sqrt(dh) applied here); wk/wv: [C, I]; bk/bv: [I].
     Returns attn out [P, T, I] (keys dtype) — feed to out_proj.
@@ -247,9 +254,9 @@ def fused_t2i_attn(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads,
     interpret = interpret or _INTERPRET
     p_, t, i = tok_q.shape
     pk, n, c = keys.shape
-    if key_pe.ndim == 2:
-        key_pe = key_pe[None]
-    pe_b = key_pe.shape[0]
+    if pe_k.ndim == 2:
+        pe_k = pe_k[None]
+    pe_b = pe_k.shape[0]
     h = num_heads
     dh = i // h
     tp = 16
@@ -280,7 +287,7 @@ def fused_t2i_attn(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bk_pos, c), k_idx),
-            pl.BlockSpec((1, bk_pos, c), pe_idx),
+            pl.BlockSpec((1, bk_pos, i), pe_idx),
             pl.BlockSpec((1, i, h * tp), lambda p, b: (p, 0, 0)),
             pl.BlockSpec((1, h * tp), lambda p, b: (0, 0)),
             pl.BlockSpec((c, i), lambda p, b: (0, 0)),
@@ -298,7 +305,7 @@ def fused_t2i_attn(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads,
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")))),
-    )(keys.astype(dt), key_pe.astype(dt), qbd, pad_bias,
+    )(keys.astype(dt), pe_k.astype(dt), qbd, pad_bias,
       wk.astype(dt), bk[None].astype(jnp.float32),
       wv.astype(dt), bv[None].astype(jnp.float32))
 
@@ -309,18 +316,18 @@ def fused_t2i_attn(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads,
             .reshape(p_, t, i).astype(dt))
 
 
-def fused_t2i_attn_xla(keys, key_pe, tok_q, wk, bk, wv, bv, *, num_heads):
+def fused_t2i_attn_xla(keys, pe_k, tok_q, wk, bk, wv, bv, *, num_heads):
     """Pure-XLA reference for fused_t2i_attn (tests/CPU fallback)."""
     from no_time_to_train_tpu.ops.attention import _xla_sdpa
     p_, t, i = tok_q.shape
     pk, n, c = keys.shape
     h = num_heads
     dh = i // h
-    x = keys + (key_pe if key_pe.ndim == 3 else key_pe[None])
-    kk = (x.reshape(-1, c) @ wk.astype(x.dtype)).reshape(pk, n, i) \
-        + bk.astype(x.dtype)
-    vv = (keys.reshape(-1, c) @ wv.astype(x.dtype)).reshape(pk, n, i) \
-        + bv.astype(x.dtype)
+    pek = pe_k if pe_k.ndim == 3 else pe_k[None]
+    kk = (keys.reshape(-1, c) @ wk.astype(keys.dtype)).reshape(pk, n, i) \
+        + pek.astype(keys.dtype) + bk.astype(keys.dtype)
+    vv = (keys.reshape(-1, c) @ wv.astype(keys.dtype)).reshape(pk, n, i) \
+        + bv.astype(keys.dtype)
     kk = jnp.broadcast_to(kk, (p_, n, i))
     vv = jnp.broadcast_to(vv, (p_, n, i))
 

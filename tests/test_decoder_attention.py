@@ -13,7 +13,7 @@ from no_time_to_train_tpu.ops import decoder_attention as da
 def _inputs(rng, p, n, c, i, t, dtype=jnp.float32, pk=None):
     return dict(
         keys=jnp.asarray(rng.standard_normal((pk or p, n, c)) * 0.5, dtype),
-        key_pe=jnp.asarray(rng.standard_normal((n, c)) * 0.5, dtype),
+        pe_q=jnp.asarray(rng.standard_normal((n, i)) * 0.5, dtype),
         tok_k=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, dtype),
         tok_v=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, dtype),
         wq=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
@@ -91,7 +91,7 @@ def test_fused_t2i_attn_interpret(t, pk):
     p, n, c, i = 4, 256, 256, 128
     kw = dict(
         keys=jnp.asarray(rng.standard_normal((pk, n, c)) * 0.5, jnp.float32),
-        key_pe=jnp.asarray(rng.standard_normal((n, c)) * 0.5, jnp.float32),
+        pe_k=jnp.asarray(rng.standard_normal((n, i)) * 0.5, jnp.float32),
         tok_q=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, jnp.float32),
         wk=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
         bk=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
@@ -110,7 +110,7 @@ def test_fused_t2i_attn_bf16():
     p, n, c, i, t = 2, 128, 256, 128, 8
     kw = dict(
         keys=jnp.asarray(rng.standard_normal((p, n, c)) * 0.5, jnp.bfloat16),
-        key_pe=jnp.asarray(rng.standard_normal((n, c)) * 0.5, jnp.bfloat16),
+        pe_k=jnp.asarray(rng.standard_normal((n, i)) * 0.5, jnp.bfloat16),
         tok_q=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, jnp.bfloat16),
         wk=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
         bk=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
@@ -155,7 +155,7 @@ def test_fused_t2i_attn_tpu_parity():
     p, n, c, i, t = 8, 4096, 256, 128, 8
     kw = dict(
         keys=jnp.asarray(rng.standard_normal((p, n, c)) * 0.5, jnp.bfloat16),
-        key_pe=jnp.asarray(rng.standard_normal((n, c)) * 0.5, jnp.bfloat16),
+        pe_k=jnp.asarray(rng.standard_normal((n, i)) * 0.5, jnp.bfloat16),
         tok_q=jnp.asarray(rng.standard_normal((p, t, i)) * 0.5, jnp.bfloat16),
         wk=jnp.asarray(rng.standard_normal((c, i)) * 0.05, jnp.float32),
         bk=jnp.asarray(rng.standard_normal(i) * 0.1, jnp.float32),
