@@ -85,7 +85,7 @@ def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
 
 
 def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
-                   norm_b, *, num_heads, eps=1e-5, pos_block=1024,
+                   norm_b, *, num_heads, eps=1e-5, pos_block=2048,
                    interpret=False):
     """keys: [Pk, n, C] (Pk == P, or 1 broadcast across prompts — layer 0);
     pe_q: [n, I] or [Pe, n, I] — the key positional encoding ALREADY pushed
@@ -238,7 +238,7 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
 
 
 def fused_t2i_attn(keys, pe_k, tok_q, wk, bk, wv, bv, *, num_heads,
-                   pos_block=2048, interpret=False):
+                   pos_block=4096, interpret=False):
     """Token->image cross-attention core with in-kernel k/v projections.
 
     keys: [Pk, n, C] (Pk == P or 1); pe_k: [n, I] / [Pe, n, I] — key
