@@ -8,7 +8,6 @@ as a constant 10.0 (the MLP head is dead code guarded by `and False`,
 mask_decoder.py:276-281); we reproduce that behavior while still carrying the
 `pred_obj_score_head` parameters for checkpoint compatibility.
 """
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
