@@ -280,10 +280,15 @@ class MaskDecoder(nn.Module):
                 t1, bias1_4, s1f, ln["weight"], ln["bias"], k2,
                 self.upscale_dc2_bias, s0f16, hyper, eps=self.upscale_ln.eps)
         else:
-            mask16 = fused_post_t1(
+            # out_16pt: the kernel emits [b, (dy1, dx1, dy2, dx2), (y, x)] —
+            # phases on sublanes, positions on full lanes (the [b, hw, 16]
+            # layout masks 16/128 output lanes; measured 0.6 ms/chunk slower)
+            m16 = fused_post_t1(
                 src3, bias1_4, s1f, ln["weight"], ln["bias"], k2,
                 self.upscale_dc2_bias, s0f16, hyper, k1mat=k1,
-                eps=self.upscale_ln.eps)
+                out_16pt=True, eps=self.upscale_ln.eps)
+            return (m16.reshape(b, 2, 2, 2, 2, h, w)
+                    .transpose(0, 5, 1, 3, 6, 2, 4).reshape(b, 4 * h, 4 * w))
         # [b, (y, x), (dy1, dx1, dy2, dx2)] -> (b, y, dy1, dy2, x, dx1, dx2)
         mask = (mask16.reshape(b, h, w, 2, 2, 2, 2)
                 .transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, 4 * h, 4 * w))

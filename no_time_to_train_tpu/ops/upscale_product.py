@@ -112,9 +112,21 @@ def _chain_body(t1, pb, pt, m1, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
           + b2_ref[0].astype(jnp.float32)
           + s0_ref[...].astype(jnp.float32)[None])
     g = _gelu(z2) * hyp_ref[...][:, None, :]
-    mask = jnp.dot(g.reshape(pb * pt, m2).astype(seg16_ref.dtype),
-                   seg16_ref[...], preferred_element_type=jnp.float32)
-    o_ref[...] = mask.reshape(pb, pt, 16).astype(o_ref.dtype)
+    if o_ref.shape[1] == 16:
+        # transposed output [pb, 16, pt]: the product lands the 16 subpixel
+        # phases on SUBLANES and positions on full lanes, so the output
+        # stores are lane-full (a [.., pt, 16] layout masks 16/128 lanes)
+        gh = g.astype(seg16_ref.dtype)
+        segT = seg16_ref[...].T
+        for p in range(pb):
+            mk = jax.lax.dot_general(segT, gh[p],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            o_ref[p] = mk.astype(o_ref.dtype)          # [16, pt]
+    else:
+        mask = jnp.dot(g.reshape(pb * pt, m2).astype(seg16_ref.dtype),
+                       seg16_ref[...], preferred_element_type=jnp.float32)
+        o_ref[...] = mask.reshape(pb, pt, 16).astype(o_ref.dtype)
 
 
 def _post_t1_kernel(t1_ref, b1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
@@ -145,7 +157,7 @@ def _from_src_kernel(src_ref, k1_ref, b1_ref, s1_ref, lnw4_ref, lnb4_ref,
 
 def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
                   *, k1mat=None, eps=1e-6, prompt_block=8, pos_block=256,
-                  interpret=False):
+                  out_16pt=False, interpret=False):
     """Fused LN + GELU + second deconv + skip + GELU + hypernetwork product,
     consuming the RAW first-deconv GEMM output.
 
@@ -219,12 +231,18 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
         specs.insert(1, pl.BlockSpec((m_in, m1), lambda p, t: (0, 0)))
         operands.insert(1, k1mat.astype(dt))
 
+    if out_16pt:
+        out_specs = pl.BlockSpec((pb, 16, pt), lambda p, t: (p, 0, t))
+        out_shape = jax.ShapeDtypeStruct((b, 16, hw), dt)
+    else:
+        out_specs = pl.BlockSpec((pb, pt, 16), lambda p, t: (p, t, 0))
+        out_shape = jax.ShapeDtypeStruct((b, hw, 16), dt)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=specs,
-        out_specs=pl.BlockSpec((pb, pt, 16), lambda p, t: (p, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hw, 16), dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")))),

@@ -132,3 +132,33 @@ def test_fused_post_t1_tpu_parity():
     ref = np.asarray(jax.jit(fused_post_t1_xla)(
         jax.device_put(t1, dev), **kw), np.float32)
     np.testing.assert_allclose(got, ref, atol=0.1, rtol=0.1)
+
+
+def test_fused_post_t1_out_16pt_interpret():
+    """Transposed-output variant ([B, 16, hw]) equals the standard layout."""
+    rng = np.random.default_rng(8)
+    kw = _inputs(rng, b=8, hw=256, c1=64, c2=32)
+    std = fused_post_t1(**kw, interpret=True)
+    tsp = fused_post_t1(**kw, out_16pt=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(tsp.transpose(0, 2, 1)),
+                               np.asarray(std), rtol=1e-5, atol=1e-5)
+
+
+def test_out_16pt_phase_interleave():
+    """The decoder's [B, 16, hw] -> [B, 4h, 4w] interleave places phase
+    (dy1, dx1, dy2, dx2) at output pixel (4y+2dy1+dy2, 4x+2dx1+dx2)."""
+    b, h, w = 1, 2, 2
+    hw = h * w
+    m16 = np.zeros((b, 16, hw), np.float32)
+    for pos in range(hw):
+        for ph in range(16):
+            m16[0, ph, pos] = pos * 100 + ph
+    m = (jnp.asarray(m16).reshape(b, 2, 2, 2, 2, h, w)
+         .transpose(0, 5, 1, 3, 6, 2, 4).reshape(b, 4 * h, 4 * w))
+    m = np.asarray(m)
+    for y in range(4 * h):
+        for x in range(4 * w):
+            pos = (y // 4) * w + (x // 4)
+            ph = ((y % 4) // 2) * 8 + ((x % 4) // 2) * 4 \
+                + (y % 2) * 2 + (x % 2)
+            assert m[0, y, x] == pos * 100 + ph, (y, x)
