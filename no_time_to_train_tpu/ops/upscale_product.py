@@ -15,9 +15,11 @@ consumes that RAW output and keeps everything else in VMEM:
     measured 4x the FLOPs and ~5.6 ms/chunk of MXU time);
   * the hypernetwork product folds the prompt's tiled hyper vector
     elementwise and contracts (phase, c2) with a [16*c2, 16] indicator on
-    the MXU, emitting the 16 subpixel phases on the lane axis.
+    the MXU; the wired path (`out_16pt`) emits the 16 subpixel phases on
+    SUBLANES with positions on full lanes (the [.., pt, 16] orientation
+    masks 16/128 lanes per store, measured 0.6 ms/chunk slower).
 
-Only the [B, hw, 16] mask phases leave VMEM (~67 MB/chunk vs the ~2.7 GB of
+Only the [B, 16, hw] mask phases leave VMEM (~67 MB/chunk vs the ~2.7 GB of
 XLA intermediates).
 
 Measured history at flagship decode shapes (B=256 prompts, 64x64 grid,
