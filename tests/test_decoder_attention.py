@@ -169,3 +169,38 @@ def test_fused_t2i_attn_tpu_parity():
         lambda **a: da.fused_t2i_attn_xla(**a, num_heads=8))(**kw),
         np.float32)
     np.testing.assert_allclose(got, ref, atol=0.08, rtol=0.08)
+
+
+def test_fused_kernels_under_shard_map_tpu():
+    """The multi-chip path traces the decode (and its Pallas kernels) inside
+    shard_map (parallel/mesh.py); validate Pallas-under-shard_map on the real
+    device with a single-device mesh at decoder geometry."""
+    dev = _tpu_device()
+    if dev is None:
+        pytest.skip("no TPU device available")
+    from jax.sharding import Mesh, PartitionSpec as P
+    from no_time_to_train_tpu.parallel.mesh import shard_map
+
+    rng = np.random.default_rng(12)
+    p, n, c, i, t = 4, 4096, 256, 128, 8
+    kw = _inputs(rng, p=p, n=n, c=c, i=i, t=t, dtype=jnp.bfloat16)
+    kw = {k: jax.device_put(v, dev) for k, v in kw.items()}
+    mesh = Mesh(np.array([dev]), ("data",))
+
+    def f(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w, norm_b):
+        return da.fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout,
+                                 bout, norm_w, norm_b, num_heads=8)
+
+    # check_vma=False matches parallel/mesh.py: pallas_call declares no
+    # varying-mesh-axes metadata and newer jax rejects it otherwise
+    sharded = shard_map(
+        f, mesh,
+        in_specs=(P("data"),) + (P(),) * 9,
+        out_specs=P("data"), check_vma=False)
+    order = ("keys", "pe_q", "tok_k", "tok_v", "wq", "bq", "wout", "bout",
+             "norm_w", "norm_b")
+    got = np.asarray(jax.jit(sharded)(*[kw[k] for k in order]), np.float32)
+    ref = np.asarray(jax.jit(
+        lambda **a: da.fused_i2t_norm_xla(**a, num_heads=8))(**kw),
+        np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.08, rtol=0.08)
