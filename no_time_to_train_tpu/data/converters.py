@@ -157,8 +157,18 @@ def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
     """reference coco_inst_to_segm.py: convert instance predictions and GT to
     per-image SEMANTIC LABEL MAPS (one class index per pixel; instances are
     painted sequentially — preds in descending-score order, GTs in annotation
-    order — so the last paint wins on overlap, exactly the reference's
-    COCOInstToSegmEvaluator:60-95), then report per-class IoU + mIoU.
+    order — so the last paint wins on overlap; crowd GTs are skipped, exactly
+    the reference's COCOInstToSegmEvaluator:60-95), then report per-class IoU
+    + mIoU.
+
+    Intentional divergence from the oracle (documented, not replicated): the
+    reference maps classes to their enumerate POSITION in the full gt category
+    list (coco_inst_to_segm.py:27-29) but then evaluates `class_idx in
+    range(N)` (:107) — so whenever the split's categories are not the first N
+    entries, it scores indices that no paint ever wrote, and index 0 conflates
+    its first class with background. Here classes map to 1..N with 0 reserved
+    for background and exactly those N indices are scored, so mIoU values can
+    differ from the reference on splits where its index bug bites.
 
     img_ids optionally restricts the evaluation to a subset of images (the
     reference passes the evaluated query ids in the SAM3 few-shot notebook).
@@ -202,6 +212,8 @@ def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
     for img_id, (h, w) in sizes.items():
         gm = np.zeros((h, w), np.uint8)
         for a in gt_by_img.get(img_id, []):
+            if a.get("iscrowd", 0):  # reference skips crowd GTs (:82)
+                continue
             gm[_gt_mask(a, h, w)] = cat_to_idx[a["category_id"]]
         pm = np.zeros((h, w), np.uint8)
         for p in sorted(pred_by_img.get(img_id, []),

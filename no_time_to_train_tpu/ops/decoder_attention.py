@@ -124,10 +124,10 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
     pad_bias = jnp.asarray(np.tile(pad_bias, (h, 1)).reshape(1, h * np_),
                            jnp.float32)
     segid = np.repeat(np.arange(h), np_)
-    seg = jnp.asarray((segid[:, None] == np.arange(8)[None])
-                      .astype(np.float32))                # [H*Np, 8]
-    segT = jnp.asarray((np.arange(8)[:, None] == segid[None])
-                       .astype(np.float32))               # [8, H*Np]
+    seg = jnp.asarray((segid[:, None] == np.arange(h)[None])
+                      .astype(np.float32))                # [H*Np, H]
+    segT = jnp.asarray((np.arange(h)[:, None] == segid[None])
+                       .astype(np.float32))               # [H, H*Np]
 
     grid = (p_, n // bq_pos)
     k_idx = (lambda p, b: (0, b, 0)) if pk == 1 else (lambda p, b: (p, b, 0))
@@ -148,8 +148,8 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
             pl.BlockSpec((1, c), lambda p, b: (0, 0)),
             pl.BlockSpec((1, c), lambda p, b: (0, 0)),
             pl.BlockSpec((1, c), lambda p, b: (0, 0)),
-            pl.BlockSpec((h * np_, 8), lambda p, b: (0, 0)),
-            pl.BlockSpec((8, h * np_), lambda p, b: (0, 0)),
+            pl.BlockSpec((h * np_, h), lambda p, b: (0, 0)),
+            pl.BlockSpec((h, h * np_), lambda p, b: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq_pos, c), lambda p, b: (p, b, 0)),
         out_shape=jax.ShapeDtypeStruct((p_, n, c), dt),

@@ -73,6 +73,30 @@ def _part_path(gather_dir, process_id):
     return os.path.join(gather_dir, f"part_{process_id}.pkl")
 
 
+def run_gather_dir(base_dir, run_id=None):
+    """Per-run gather directory. The file-existence barrier of
+    `collect_results` is only sound if part files from a PREVIOUS run can
+    never satisfy it — a re-run over a crashed or completed run would
+    otherwise silently merge stale results. The launcher propagates a shared
+    run id (NTTT_RUN_ID, same contract as the other NTTT_* env vars); runs
+    without one share the base dir and rely on `clear_rank_part` at start."""
+    rid = run_id or os.environ.get("NTTT_RUN_ID")
+    return os.path.join(base_dir, rid) if rid else base_dir
+
+
+def clear_rank_part(gather_dir, process_id):
+    """Delete this rank's stale part file BEFORE any compute starts. Each
+    rank clears its own file (race-free: nobody else writes part_<r>), so a
+    re-run in the same gather dir can only complete once every current-rank
+    process has republished. Residual window: a rank that starts later than
+    another rank *finishes* could leave its stale file standing — set
+    NTTT_RUN_ID to close it completely."""
+    try:
+        os.remove(_part_path(gather_dir, process_id))
+    except FileNotFoundError:
+        pass
+
+
 def save_rank_results(gather_dir, process_id, results):
     """Atomically publish this rank's result list (reference
     run_lightning.py:56-57, per-rank pickle dump). The rename is the

@@ -214,6 +214,10 @@ class MatcherRunner:
                 multihost.initialize()
             indices = multihost.process_shard_indices(len(ds), n_proc,
                                                       proc_id)
+            gather_dir = multihost.run_gather_dir(
+                os.path.join(self.save_dir, "multihost_gather"))
+            if n_proc > 1:  # drop any stale part BEFORE compute starts
+                multihost.clear_rank_part(gather_dir, proc_id)
             workers = max(1, int(self.data_load_cfgs.get("workers", 0)) or 1)
             pool = ThreadPoolExecutor(max_workers=workers)
             futures = [pool.submit(ds.__getitem__, j) for j in indices[:2]]
@@ -289,7 +293,6 @@ class MatcherRunner:
             if n_proc > 1:
                 # per-rank publish + rank-0 interleaved merge (reference
                 # collect_results_cpu, run_lightning.py:23-78)
-                gather_dir = os.path.join(self.save_dir, "multihost_gather")
                 multihost.save_rank_results(gather_dir, proc_id,
                                             self.output_queue)
                 if proc_id != 0:

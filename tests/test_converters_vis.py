@@ -65,6 +65,30 @@ def test_inst_to_segm_eval(tmp_path):
     assert abs(out["miou"] - 1.0) < 1e-9
 
 
+def test_inst_to_segm_eval_skips_crowd_gt(tmp_path):
+    """Crowd GTs are excluded from the semantic GT map (reference
+    COCOInstToSegmEvaluator:82; ADVICE r2). A crowd-only region must count
+    as background, so a matching prediction there HURTS the IoU."""
+    p, data = _toy_coco(tmp_path, n_imgs=1, per_img=1)
+    crowd_seg = rle_mod.encode_mask(
+        np.pad(np.ones((8, 8), np.uint8), ((20, 4), (20, 4))))
+    data["annotations"].append(
+        {"id": 99, "image_id": 1, "category_id": 1, "bbox": [20, 20, 8, 8],
+         "area": 64.0, "iscrowd": 1, "segmentation": crowd_seg})
+    p2 = tmp_path / "gt_crowd.json"
+    p2.write_text(json.dumps(data))
+    preds = [{"image_id": 1, "category_id": 1, "score": 0.9,
+              "segmentation": data["annotations"][0]["segmentation"]},
+             {"image_id": 1, "category_id": 1, "score": 0.8,
+              "segmentation": crowd_seg}]
+    pp = tmp_path / "pred_crowd.json"
+    pp.write_text(json.dumps(preds))
+    out = converters.coco_inst_to_segm_eval(str(p2), str(pp))
+    # pred covers GT (64 px inter) + the ignored crowd region (64 px union
+    # only): IoU = 64 / 128
+    assert abs(out["miou"] - 0.5) < 1e-9
+
+
 def test_pascal_voc_to_coco(tmp_path):
     (tmp_path / "Annotations").mkdir()
     xml = """<annotation><filename>im0.jpg</filename>

@@ -47,6 +47,18 @@ def test_fused_i2t_norm_broadcast_keys():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fused_i2t_norm_16_heads():
+    """The fusible gate admits internal_dim=256/num_heads=16 (H*16 == I,
+    I % 128 == 0); the segment matrices must be built from num_heads, not a
+    hardcoded 8 — heads >= 8 got a zero normalizer before (ADVICE r2)."""
+    rng = np.random.default_rng(6)
+    kw = _inputs(rng, p=2, n=128, c=256, i=256, t=12)
+    got = da.fused_i2t_norm(**kw, num_heads=16, interpret=True)
+    ref = da.fused_i2t_norm_xla(**kw, num_heads=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_i2t_norm_bf16():
     rng = np.random.default_rng(2)
     kw = _inputs(rng, p=2, n=128, c=256, i=128, t=8, dtype=jnp.bfloat16)

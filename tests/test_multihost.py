@@ -47,6 +47,35 @@ def test_gather_timeout(tmp_path):
         multihost.collect_results(str(tmp_path), 2, 1, timeout_s=0.3)
 
 
+def test_stale_parts_cannot_satisfy_barrier(tmp_path, monkeypatch):
+    """ADVICE r2 (medium): a re-run in the same gather dir must not merge a
+    previous run's part files. With NTTT_RUN_ID each run gets its own dir;
+    without it, each rank clears its own stale part before compute."""
+    # run 1 completes fully
+    base = str(tmp_path)
+    for r in range(2):
+        multihost.save_rank_results(base, r, [f"old_{r}"])
+    # run-id isolation: a new run id points at an empty dir
+    monkeypatch.setenv("NTTT_RUN_ID", "run2")
+    d2 = multihost.run_gather_dir(base)
+    assert d2 != base
+    with pytest.raises(TimeoutError):
+        multihost.collect_results(d2, 2, 2, timeout_s=0.3)
+    monkeypatch.delenv("NTTT_RUN_ID")
+    # no run id: run_gather_dir falls back to the base dir, and clearing the
+    # rank's own part at start makes rank 0's wait fail until republish
+    assert multihost.run_gather_dir(base) == base
+    multihost.clear_rank_part(base, 1)
+    with pytest.raises(TimeoutError):
+        multihost.collect_results(base, 2, 2, timeout_s=0.3)
+    multihost.clear_rank_part(base, 1)  # idempotent on missing file
+    multihost.save_rank_results(base, 1, ["new_1"])
+    multihost.clear_rank_part(base, 0)
+    multihost.save_rank_results(base, 0, ["new_0"])
+    assert multihost.collect_results(base, 2, 2, timeout_s=5) == \
+        ["new_0", "new_1"]
+
+
 def test_env_world(monkeypatch):
     assert multihost.env_world() == (1, 0)
     monkeypatch.setenv("NTTT_NUM_PROCESSES", "4")
