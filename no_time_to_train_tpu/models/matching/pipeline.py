@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from no_time_to_train_tpu.config.presets import SAM2_PRESETS, ENCODER_PRESETS
+from no_time_to_train_tpu.config.presets import ENCODER_PRESETS
 from no_time_to_train_tpu.models.sam2.model import SAM2
 from no_time_to_train_tpu.models.dino import DinoV2
 from no_time_to_train_tpu.models.matching import memory_bank as mb
@@ -146,8 +146,10 @@ class NoAMGMatcher:
                  n_classes=20, memory_length=10,
                  sam2_params=None, dino_params=None, seed=0,
                  bank_dtype=jnp.float32):
-        self.sam2_cfg = (SAM2_PRESETS[sam2_cfg]
-                         if isinstance(sam2_cfg, str) else sam2_cfg)
+        if isinstance(sam2_cfg, str):
+            from no_time_to_train_tpu.config.hydra_yaml import resolve_sam2_cfg
+            sam2_cfg = resolve_sam2_cfg(sam2_cfg)
+        self.sam2_cfg = sam2_cfg
         self.enc_cfg = (ENCODER_PRESETS[encoder_cfg]
                         if isinstance(encoder_cfg, str) else encoder_cfg)
         self.matching = matching

@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-from no_time_to_train_tpu.config.presets import SAM2_PRESETS, ENCODER_PRESETS
+from no_time_to_train_tpu.config.presets import ENCODER_PRESETS
 from no_time_to_train_tpu.data.metainfo import METAINFO
 from no_time_to_train_tpu.data.datasets import (COCOMemoryFillCropDataset,
                                                 COCORefOracleTestDataset)
@@ -112,7 +112,10 @@ class MatcherRunner:
         )
 
         sam2_cfg_file = model_cfg.get("sam2_cfg_file", "sam2_hiera_l.yaml")
-        sam2_cfg = SAM2_PRESETS[os.path.basename(sam2_cfg_file)]
+        # preset basenames resolve directly; any other value is parsed as a
+        # reference hydra `_target_` YAML (build_sam.py:34-36 semantics)
+        from no_time_to_train_tpu.config.hydra_yaml import resolve_sam2_cfg
+        sam2_cfg = resolve_sam2_cfg(sam2_cfg_file)
         sam2_ckpt = model_cfg.get("sam2_ckpt_path")
         sam2_params = None
         if sam2_ckpt and os.path.exists(sam2_ckpt):
