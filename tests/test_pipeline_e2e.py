@@ -85,11 +85,14 @@ def _dino_feats_t(t_dino, imgs):
     return out[:, 1:, :]
 
 
-def test_full_pipeline_parity(setup, rng):
+@pytest.fixture(scope="module")
+def filled(setup):
+    """Both memory banks filled with identical reference crops + one
+    postprocess each (reference forward_fill_memory :446-469 +
+    postprocess_memory)."""
     t_sam, t_dino, matcher, mcfg = setup
+    rng = np.random.default_rng(0)
     gh = ENC_IMG // 14
-
-    # ---------------- fill memory (both sides) -------------------------
     t_bank = TMemoryBank({"category_num": N_CLASSES, "length": SHOTS,
                           "feat_shape": (gh * gh, ENC_DIM)}, 4, 3)
     for c in range(N_CLASSES):
@@ -116,16 +119,15 @@ def test_full_pipeline_parity(setup, rng):
     with torch.no_grad():
         t_bank.postprocess()
     matcher.postprocess_memory()
+    return t_sam, t_dino, matcher, mcfg, t_bank
 
-    np.testing.assert_allclose(np.asarray(matcher.bank.feats_ins_avg),
-                               t_bank.feats_ins_avg.numpy(), atol=1e-3,
-                               rtol=1e-2)
 
-    # ---------------- test phase ---------------------------------------
-    tar = rng.random((3, SAM_IMG, SAM_IMG)).astype(np.float32)
+def _oracle_forward_test(t_sam, t_dino, t_bank, mcfg, tar, ori):
+    """Line-by-line torch re-walk of the reference forward_test
+    (Sam2MatchingBaseline_noAMG.py:435-698) for one [3, H, W] image;
+    returns dict(masks, scores, labels) at `ori` resolution."""
+    gh = ENC_IMG // 14
     tar_t = torch.from_numpy(tar)
-
-    # ===== oracle: reference forward_test re-walk =====
     with torch.no_grad():
         # _extract_target_features (:511-532)
         enc_in = TF.interpolate(tar_t.unsqueeze(0), size=(ENC_IMG, ENC_IMG),
@@ -198,7 +200,7 @@ def test_full_pipeline_parity(setup, rng):
         scores_out, lr_out = scores_out[pos], lr_out[pos]
         obj_out, labels_out = obj_out[pos], labels_out[pos]
 
-        masks_bin = TF.interpolate(lr_out.unsqueeze(1), size=ORI,
+        masks_bin = TF.interpolate(lr_out.unsqueeze(1), size=ori,
                                    mode="bilinear", align_corners=False,
                                    antialias=True).squeeze(1) > 0
         obj_sim = (obj_out @ obj_out.t()).clamp(min=0)
@@ -206,16 +208,14 @@ def test_full_pipeline_parity(setup, rng):
                                    use_semantic=True, rank_score=True)
         scores_out = scores_out * torch.pow(1 - ios, 0.5)
         fin = torch.argsort(scores_out, descending=True)[:mcfg.num_out_instance]
-        ref = dict(masks=masks_bin[fin].numpy(),
-                   scores=scores_out[fin].numpy(),
-                   labels=labels_out[fin].numpy())
+        return dict(masks=masks_bin[fin].numpy(),
+                    scores=scores_out[fin].numpy(),
+                    labels=labels_out[fin].numpy())
 
-    # ===== ours =====
-    got_raw = matcher.test(tar.transpose(1, 2, 0))
-    got = finalize_results(got_raw, *ORI, exact_resize=True)
 
+def _compare_one(got, ref, tag=""):
     assert len(got["scores"]) == len(ref["scores"]), \
-        (len(got["scores"]), len(ref["scores"]))
+        (tag, len(got["scores"]), len(ref["scores"]))
     np.testing.assert_allclose(got["scores"], ref["scores"], atol=2e-3,
                                rtol=1e-2)
     np.testing.assert_array_equal(got["labels"], ref["labels"])
@@ -223,7 +223,111 @@ def test_full_pipeline_parity(setup, rng):
         a, b = got["binary_masks"][i], ref["masks"][i]
         inter = (a & b).sum()
         union = (a | b).sum()
-        assert union == 0 or inter / union > 0.98, f"mask {i} IoU low"
+        assert union == 0 or inter / union > 0.98, f"{tag} mask {i} IoU low"
+
+
+def test_full_pipeline_parity(filled, rng):
+    t_sam, t_dino, matcher, mcfg, t_bank = filled
+    np.testing.assert_allclose(np.asarray(matcher.bank.feats_ins_avg),
+                               t_bank.feats_ins_avg.numpy(), atol=1e-3,
+                               rtol=1e-2)
+    tar = rng.random((3, SAM_IMG, SAM_IMG)).astype(np.float32)
+    ref = _oracle_forward_test(t_sam, t_dino, t_bank, mcfg, tar, ORI)
+    got_raw = matcher.test(tar.transpose(1, 2, 0))
+    got = finalize_results(got_raw, *ORI, exact_resize=True)
+    _compare_one(got, ref)
+
+
+def _mask_to_xywh(m):
+    ys, xs = np.where(m)
+    if len(ys) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    return [float(xs.min()), float(ys.min()),
+            float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)]
+
+
+def test_dataset_differential_ap(filled, tmp_path):
+    """Dataset-level differential (VERDICT r2 #2): 8 images through BOTH
+    pipelines with shared random weights; detections must match per image
+    (labels, boxes within 1px, mask IoU > 0.99) and COCOeval AP over the
+    whole set must agree to <= 1e-3. GT is built from the oracle's own
+    top detections so the AP values are non-degenerate
+    (reference run_lightning.py:184 + coco_ref_dataset.py:652-662)."""
+    from no_time_to_train_tpu.data import rle as rle_mod
+    from no_time_to_train_tpu.data.coco_api import COCO
+    from no_time_to_train_tpu.data.cocoeval import COCOeval
+    import json
+
+    t_sam, t_dino, matcher, mcfg, t_bank = filled
+    n_imgs = 8
+    rng = np.random.default_rng(12)
+
+    images, gt_anns, det_ref, det_got = [], [], [], []
+    aid = 1
+    for i in range(n_imgs):
+        img_id = i + 1
+        tar = rng.random((3, SAM_IMG, SAM_IMG)).astype(np.float32)
+        ref = _oracle_forward_test(t_sam, t_dino, t_bank, mcfg, tar, ORI)
+        got_raw = matcher.test(tar.transpose(1, 2, 0))
+        got = finalize_results(got_raw, *ORI, exact_resize=True)
+
+        _compare_one(got, ref, tag=f"img{img_id}")
+        # boxes within 1px
+        for k in range(len(ref["scores"])):
+            bg = _mask_to_xywh(got["binary_masks"][k])
+            br = _mask_to_xywh(ref["masks"][k])
+            assert np.abs(np.array(bg) - np.array(br)).max() <= 1.0, \
+                f"img{img_id} det{k} box off: {bg} vs {br}"
+
+        images.append({"id": img_id, "height": ORI[0], "width": ORI[1],
+                       "file_name": f"{img_id}.png"})
+        # GT = oracle's top-3 detections for this image
+        for k in range(min(3, len(ref["scores"]))):
+            m = ref["masks"][k]
+            gt_anns.append({"id": aid, "image_id": img_id,
+                            "category_id": int(ref["labels"][k]) + 1,
+                            "bbox": _mask_to_xywh(m),
+                            "area": float(m.sum()), "iscrowd": 0,
+                            "segmentation": rle_mod.encode_mask(m)})
+            aid += 1
+        for out, dets in ((ref, det_ref),):
+            for k in range(len(out["scores"])):
+                dets.append({"image_id": img_id,
+                             "category_id": int(out["labels"][k]) + 1,
+                             "bbox": _mask_to_xywh(out["masks"][k]),
+                             "score": float(out["scores"][k]),
+                             "segmentation":
+                                 rle_mod.encode_mask(out["masks"][k])})
+        for k in range(len(got["scores"])):
+            det_got.append({"image_id": img_id,
+                            "category_id": int(got["labels"][k]) + 1,
+                            "bbox": _mask_to_xywh(got["binary_masks"][k]),
+                            "score": float(got["scores"][k]),
+                            "segmentation":
+                                rle_mod.encode_mask(got["binary_masks"][k])})
+
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps({
+        "images": images, "annotations": gt_anns,
+        "categories": [{"id": c + 1, "name": f"c{c}"}
+                       for c in range(N_CLASSES)]}))
+    coco_gt = COCO(str(gt_path))
+
+    aps = {}
+    for tag, dets in (("ref", det_ref), ("got", det_got)):
+        dp = tmp_path / f"{tag}.json"
+        dp.write_text(json.dumps(dets))
+        stats = {}
+        for iou_type in ("bbox", "segm"):
+            ev = COCOeval(coco_gt, coco_gt.loadRes(str(dp)), iou_type)
+            ev.evaluate()
+            ev.accumulate()
+            ev.summarize()
+            stats[iou_type] = ev.stats[0]
+        aps[tag] = stats
+    for iou_type in ("bbox", "segm"):
+        assert aps["ref"][iou_type] > 0.1, aps  # non-degenerate
+        assert abs(aps["ref"][iou_type] - aps["got"][iou_type]) <= 1e-3, aps
 
 
 def test_semantic_ios_aspect_invariance(rng):
