@@ -271,9 +271,10 @@ class MaskDecoder(nn.Module):
         # flagship shapes. Same contractions, fp32 stats/accumulation
         # (ops/upscale_product).
         from no_time_to_train_tpu.ops.upscale_product import (
-            default_device_is_cpu, fused_post_t1, fused_post_t1_xla)
+            default_device_is_cpu, fusion_disabled, fused_post_t1,
+            fused_post_t1_xla)
         src3 = src_flat.reshape(b, hw, d)
-        if default_device_is_cpu():
+        if default_device_is_cpu() or fusion_disabled():
             t1 = jnp.einsum("bhd,dm->bhm", src3, k1.astype(src3.dtype),
                             preferred_element_type=src3.dtype)
             mask16 = fused_post_t1_xla(

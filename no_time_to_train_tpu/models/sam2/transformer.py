@@ -102,10 +102,10 @@ class Attention(nn.Module):
         TPU-resident run (not CPU / not init), <=16 prompt tokens, and the
         decoder's lane-full head geometry (H*16 == internal, 128-multiples)."""
         from no_time_to_train_tpu.ops.upscale_product import (
-            default_device_is_cpu)
+            default_device_is_cpu, fusion_disabled)
         i = self.internal_dim
         return (skip_last_n_keys == 0 and not self.is_initializing()
-                and not default_device_is_cpu()
+                and not default_device_is_cpu() and not fusion_disabled()
                 and tok_q_in.shape[1] <= 16
                 and self.num_heads * 16 == i and i % 128 == 0
                 and keys.shape[-1] % 128 == 0 and keys.shape[-2] % 8 == 0)

@@ -205,8 +205,13 @@ class SAM2Ref:
         w = jnp.repeat(batch["cat_valid"].astype(jnp.float32), p * 4)
         err = jnp.abs(matched.reshape(-1) - custom_iou.reshape(-1))
         loss = (err * w).sum() / jnp.maximum(w.sum(), 1.0)
+        # matched/pred exposed for held-out ranking evaluation
+        # (tests/test_sam2ref.py convergence test)
         metrics = {"mean_seg_iou":
-                   (matched.reshape(-1) * w).sum() / jnp.maximum(w.sum(), 1.0)}
+                   (matched.reshape(-1) * w).sum() / jnp.maximum(w.sum(), 1.0),
+                   "matched_iou": matched.reshape(-1),
+                   "pred_iou": custom_iou.reshape(-1),
+                   "weight": w}
         return loss, metrics
 
     def make_optimizer(self, base_lr=1e-4, weight_decay=0.05,
@@ -235,11 +240,16 @@ class SAM2Ref:
                         mask=decay_mask))
 
     def make_train_step(self, optimizer):
+        from no_time_to_train_tpu.ops.upscale_product import no_fusion
+
         @jax.jit
         def step(head_params, opt_state, batch):
-            (loss, metrics), grads = jax.value_and_grad(
-                self.train_loss, has_aux=True)(head_params, self.sam2_params,
-                                               batch)
+            # the fused Pallas decode kernels have no autodiff rules; trace
+            # the differentiated decode through the XLA formulations
+            with no_fusion():
+                (loss, metrics), grads = jax.value_and_grad(
+                    self.train_loss, has_aux=True)(
+                        head_params, self.sam2_params, batch)
             updates, opt_state = optimizer.update(grads, opt_state,
                                                   head_params)
             head_params = optax.apply_updates(head_params, updates)

@@ -68,9 +68,10 @@ def sdpa(q, k, v, mask=None, impl=None):
     else through XLA."""
     if impl is None:
         impl = _DEFAULT_IMPL
+    from no_time_to_train_tpu.ops.upscale_product import fusion_disabled
     if (impl == "pallas" and mask is None
             and q.shape[-2] >= _PALLAS_MIN_Q and k.shape[-2] >= _PALLAS_MIN_Q
-            and not _default_device_is_cpu()):
+            and not _default_device_is_cpu() and not fusion_disabled()):
         from no_time_to_train_tpu.ops.flash_attention import flash_sdpa
         return flash_sdpa(q, k, v, mask=mask)
     return _xla_sdpa(q, k, v, mask)

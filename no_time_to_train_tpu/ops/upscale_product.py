@@ -69,6 +69,32 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
+_NO_FUSION_DEPTH = 0
+
+
+def no_fusion():
+    """Context manager disabling the fused Pallas decode paths for whatever
+    is TRACED inside it. The kernels have no JVP/VJP rules, so any
+    differentiated decode (SAM2Ref training) must trace the XLA formulations
+    instead; wrap the `value_and_grad` call site (inside jit is fine — the
+    flag is only read at trace time)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _NO_FUSION_DEPTH
+        _NO_FUSION_DEPTH += 1
+        try:
+            yield
+        finally:
+            _NO_FUSION_DEPTH -= 1
+    return _ctx()
+
+
+def fusion_disabled():
+    return _NO_FUSION_DEPTH > 0
+
+
 def default_device_is_cpu():
     """True when computations default to the CPU backend — either because CPU
     is the only platform or because jax_default_device is pinned to a CPU
