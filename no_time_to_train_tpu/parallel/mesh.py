@@ -75,13 +75,20 @@ def make_data_parallel_test(matcher, mesh):
         return jfn(matcher.sam2_params, matcher.dino_params, matcher.bank,
                    bank_neg, imgs)
 
+    run.jfn = jfn  # exposed for AOT pre-compilation (multi-process barriers)
     return run
 
 
-def make_data_parallel_fill(matcher, mesh):
-    """Returns fn(cat_inds [B], imgs [B, H, W, 3], masks [B, Hm, Wm]) that
-    extracts features on each device and all-gathers them so every host can
-    apply the same bank update."""
+def make_data_parallel_fill(matcher, mesh, positive=True):
+    """Returns fn(cat_inds [B], imgs [B, H, W, 3], masks [B, Hm, Wm],
+    n_valid=None) that extracts features on each device and all-gathers them
+    so every host applies the same sequential bank update (reference
+    concat_all_gather + rank-loop semantics, model_utils.py:74-91) — to the
+    positive or the negative bank.
+
+    `n_valid < B` drops the padded tail of the LAST batch after the gather
+    (the padded entries never reach the bank, so the final state is
+    byte-identical to the single-device sequential fill)."""
     n = mesh.devices.size
 
     def per_device(dino_params, cats, imgs, msks):
@@ -94,16 +101,62 @@ def make_data_parallel_fill(matcher, mesh):
                    out_specs=(P(), P(), P()), check_vma=False)
     jfn = jax.jit(fn)
 
-    def run(cat_inds, imgs, masks):
-        assert imgs.shape[0] == n
-        cats, feats, msks = jfn(matcher.dino_params,
-                                jnp.asarray(cat_inds, jnp.int32),
-                                jnp.asarray(imgs), jnp.asarray(masks))
+    def run(cat_inds, imgs, masks, n_valid=None):
+        assert imgs.shape[0] == n or (
+            hasattr(imgs, "sharding") and imgs.shape[0] == n), imgs.shape
+        cats, feats, msks = jfn(
+            matcher.dino_params,
+            cat_inds if isinstance(cat_inds, jax.Array)
+            else jnp.asarray(cat_inds, jnp.int32),
+            imgs if isinstance(imgs, jax.Array) else jnp.asarray(imgs),
+            masks if isinstance(masks, jax.Array) else jnp.asarray(masks))
+        if n_valid is not None and n_valid < n:
+            cats, feats, msks = cats[:n_valid], feats[:n_valid], \
+                msks[:n_valid]
         from no_time_to_train_tpu.models.matching import memory_bank as mb
-        matcher.bank = mb.fill(matcher.bank, cats, feats, msks)
-        return matcher.bank
+        target = matcher.bank if positive else matcher.bank_neg
+        updated = mb.fill(target, cats, feats, msks)
+        max_count = int(np.asarray(updated.fill_counts).max())
+        if max_count > updated.feats.shape[1]:  # same fail-loud as fill_memory
+            raise IndexError(
+                f"memory bank overflow: a class received {max_count} "
+                f"references but memory_length={updated.feats.shape[1]}")
+        if positive:
+            matcher.bank = updated
+        else:
+            matcher.bank_neg = updated
+        return updated
 
+    run.jfn = jfn  # exposed for AOT pre-compilation (multi-process barriers)
     return run
+
+
+def make_global_array(mesh, data, axis="data"):
+    """Build a batch-sharded GLOBAL jax.Array over a (possibly multi-process)
+    mesh from host-replicated numpy data.
+
+    Every process passes the SAME full [B, ...] array; each donates exactly
+    the rows its local devices own (`jax.make_array_from_single_device_arrays`
+    composes them into one global array). On a single-process mesh this is
+    equivalent to `jax.device_put(data, NamedSharding(mesh, P(axis)))`; on a
+    multi-process mesh it is the only way to feed `shard_map` inputs without
+    a host-side scatter (reference: each DDP rank loads its own shard,
+    run_lightning.py:23-78)."""
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, P(axis))
+    devs = list(mesh.devices.ravel())
+    per = data.shape[0] // len(devs)
+    assert per * len(devs) == data.shape[0], (data.shape, len(devs))
+    # ask the mesh devices' own client for this process's index —
+    # jax.process_index() consults the DEFAULT backend, which can be a
+    # different platform (e.g. a single-process TPU next to a multi-process
+    # CPU mesh) and then reports 0 on every rank
+    my_proc = devs[0].client.process_index()
+    shards = [jax.device_put(data[pos * per:(pos + 1) * per], d)
+              for pos, d in enumerate(devs)
+              if d.process_index == my_proc]
+    return jax.make_array_from_single_device_arrays(data.shape, sharding,
+                                                    shards)
 
 
 def interleave_results(per_rank_results, total):

@@ -157,11 +157,23 @@ class MatcherRunner:
         self.load_ckpt(ckpt_path)
         if mode in ("fill_memory", "fill_memory_neg"):
             from concurrent.futures import ThreadPoolExecutor
+            import jax
             ds = get_dataset(self.dataset_cfgs["fill_memory"],
                              mode if mode != "fill_memory" else "fill_memory")
-            # batch references through the encoder (the reference runs bs=1
-            # with a DataLoader; here a thread prefetches + device batches of 8)
+            positive = (mode == "fill_memory")
+            # data-parallel fill: per-device feature extraction + all_gather,
+            # every host applies the same sequential bank update (reference
+            # concat_all_gather, model_utils.py:74-91); positive AND negative
+            # banks both route through the mesh
+            dp_fill = None
             bs = 8
+            if self.devices > 1 and len(jax.devices()) >= self.devices:
+                from no_time_to_train_tpu.parallel.mesh import (
+                    make_mesh, make_data_parallel_fill)
+                mesh = make_mesh(jax.devices()[:self.devices])
+                dp_fill = make_data_parallel_fill(self.matcher, mesh,
+                                                  positive=positive)
+                bs = self.devices
             pool = ThreadPoolExecutor(max_workers=2)
             batches = [list(range(i, min(i + bs, len(ds))))
                        for i in range(0, len(ds), bs)]
@@ -172,11 +184,21 @@ class MatcherRunner:
                 if bi + 2 < len(batches):
                     futs.append(pool.submit(
                         lambda ix: [ds[j] for j in ix], batches[bi + 2]))
-                self.matcher.fill_memory(
-                    np.stack([it["img"] for it in items]),
-                    np.stack([it["mask"] for it in items]),
-                    [it["cat_ind"] for it in items],
-                    positive=(mode == "fill_memory"))
+                if dp_fill is not None:
+                    n_valid = len(items)
+                    while len(items) < bs:      # pad the tail batch; the
+                        items.append(items[-1])  # gather drops it via n_valid
+                    dp_fill(np.asarray([it["cat_ind"] for it in items],
+                                       np.int32),
+                            np.stack([it["img"] for it in items]),
+                            np.stack([it["mask"] for it in items]),
+                            n_valid=n_valid)
+                else:
+                    self.matcher.fill_memory(
+                        np.stack([it["img"] for it in items]),
+                        np.stack([it["mask"] for it in items]),
+                        [it["cat_ind"] for it in items],
+                        positive=positive)
                 if progress:
                     print(f"fill {min((bi + 1) * bs, len(ds))}/{len(ds)}")
             pool.shutdown()
@@ -399,26 +421,52 @@ class MatcherRunner:
                 w.writeheader()
             w.writerow(row)
 
+    def _fetch_dp(self, out):
+        """Valid-prefix fetch of a data-parallel batch (mirrors
+        matcher.fetch_test): winners are score-sorted so valid entries form a
+        prefix per device — ship only `valid.sum()` fp16 mask planes per row
+        instead of the full padded [n, K, h, w] block (the D2H link is the
+        second cost after compute on a remote-TPU tunnel)."""
+        valid = np.asarray(out["valid"])                 # [n, K]
+        n, k = valid.shape
+        lr = np.zeros((n, k) + out["lr_logits"].shape[2:], np.float16)
+        for j in range(n):
+            nv = int(valid[j].sum())
+            if nv > 0:
+                lr[j, :nv] = np.asarray(out["lr_logits"][j, :nv])
+        return dict(lr_logits=lr, scores=np.asarray(out["scores"]),
+                    labels=np.asarray(out["labels"]),
+                    pred_ious=np.asarray(out["pred_ious"]), valid=valid)
+
     def _run_test_data_parallel(self, ds, export_result, output_name):
         """Shard the image stream over a `data` mesh (reference Lightning-DDP
         equivalent, SURVEY §2.5): per-device single-image steps via shard_map,
-        interleaved merge reproducing the reference rank order."""
+        interleaved merge reproducing the reference rank order. Host loading
+        is thread-prefetched and the device pipeline is two deep — batch i's
+        valid-prefix D2H + RLE encode overlap batch i+1's compute — matching
+        the single-device loop's structure."""
         import jax
+        from concurrent.futures import ThreadPoolExecutor
         from no_time_to_train_tpu.parallel.mesh import (
             make_mesh, make_data_parallel_test, interleave_results)
         n = self.devices
         mesh = make_mesh(jax.devices()[:n])
         run = make_data_parallel_test(self.matcher, mesh)
         per_rank = [[] for _ in range(n)]
-        for start in range(0, len(ds), n):
-            idxs = [min(start + j, len(ds) - 1) for j in range(n)]  # pad
-            items = [ds[i] for i in idxs]
-            t0 = time.time()
-            out = run(np.stack([it["target_img"] for it in items]))
-            out = jax.tree.map(np.asarray, out)
-            self.time_queue.append((time.time() - t0) / n)
+        starts = list(range(0, len(ds), n))
+
+        def load(start):
+            return [ds[min(start + j, len(ds) - 1)] for j in range(n)]  # pad
+
+        workers = max(1, int(self.data_load_cfgs.get("workers", 0)) or 1)
+        pool = ThreadPoolExecutor(max_workers=workers)
+        futures = [pool.submit(load, s) for s in starts[:2]]
+
+        def finalize(items, out, dt):
+            self.time_queue.append(dt / n)
+            raw_all = self._fetch_dp(out)
             for j, item in enumerate(items):
-                raw = {k: v[j] for k, v in out.items()}
+                raw = {k: v[j] for k, v in raw_all.items()}
                 info = item["target_img_info"]
                 fin = finalize_results(raw, info["ori_height"],
                                        info["ori_width"])
@@ -426,6 +474,22 @@ class MatcherRunner:
                                labels=fin["labels"], boxes=fin["bboxes"],
                                masks=fin["binary_masks"])
                 per_rank[j].append(ds.encode_results([per_img]))
+
+        pending = None
+        for bi, start in enumerate(starts):
+            items = futures.pop(0).result()
+            if bi + 2 < len(starts):
+                futures.append(pool.submit(load, starts[bi + 2]))
+            t0 = time.time()
+            out = run(np.stack([it["target_img"] for it in items]))
+            if pending is not None:
+                finalize(*pending)  # D2H + host work overlap this compute
+            np.asarray(out["scores"])  # completion fence (tiny [n, K] fetch)
+            dt = time.time() - t0
+            pending = (items, out, dt)
+        if pending is not None:
+            finalize(*pending)
+        pool.shutdown()
         merged = interleave_results(per_rank, len(ds))
         results_unpacked = [r for enc in merged for r in enc]
 

@@ -53,6 +53,40 @@ def test_distributed_fill_matches_sequential(mesh, rng):
                                rtol=1e-5)
 
 
+def test_distributed_fill_negative_and_padded_tail(mesh, rng):
+    """DP fill routes to the NEGATIVE bank with positive=False, and a padded
+    tail batch (n_valid < mesh size) leaves the bank byte-identical to the
+    sequential fill of only the valid items (VERDICT r2 #3b)."""
+    mcfg_neg = MatchingConfig(points_per_side=4, testing_point_bs=8,
+                              iou_thr=0.0, nms_thr=0.5, num_out_instance=5,
+                              analysis_res=128, expand_ratio=2,
+                              with_negative_refs=True)
+    m1 = NoAMGMatcher(TINY_SAM, TINY_ENC, mcfg_neg, n_classes=2,
+                      memory_length=2)
+    m2 = NoAMGMatcher(TINY_SAM, TINY_ENC, mcfg_neg, n_classes=2,
+                      memory_length=2,
+                      sam2_params=jax.tree.map(np.asarray, m1.sam2_params),
+                      dino_params=jax.tree.map(np.asarray, m1.dino_params))
+    cats = np.array([0, 1, 1, 1])  # last entry is PAD (repeat of index 2)
+    imgs = rng.random((4, 64, 64, 3)).astype(np.float32)
+    masks = (rng.random((4, 64, 64)) > 0.5).astype(np.float32)
+    imgs[3], masks[3] = imgs[2], masks[2]
+
+    fill_neg = make_data_parallel_fill(m1, mesh, positive=False)
+    fill_neg(cats, imgs, masks, n_valid=3)
+
+    m2.fill_memory(imgs[:3], masks[:3], cats[:3], positive=False)
+
+    # positive bank untouched, negative identical to the 3-item sequential
+    assert int(np.asarray(m1.bank.fill_counts).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(m1.bank_neg.fill_counts),
+                                  np.asarray(m2.bank_neg.fill_counts))
+    assert int(np.asarray(m1.bank_neg.fill_counts).sum()) == 3
+    np.testing.assert_allclose(np.asarray(m1.bank_neg.feats),
+                               np.asarray(m2.bank_neg.feats), atol=1e-5,
+                               rtol=1e-5)
+
+
 def test_data_parallel_test_matches_single(mesh, rng):
     m = NoAMGMatcher(TINY_SAM, TINY_ENC, MCFG, n_classes=2, memory_length=2)
     m.fill_memory(rng.random((2, 64, 64, 3)).astype(np.float32),

@@ -85,6 +85,26 @@ def test_cli_multidevice_test(tmp_path, rng, capsys):
                         "--model.test_mode", "postprocess_memory",
                         "--ckpt_path", mem, "--out_path", post,
                         "--trainer.devices", "1"])
+    # data-parallel fill through the CLI (VERDICT r2 #3b): the 3-shot fill
+    # (2 pos refs sampled to length 2 -> actual item count varies; padded
+    # tail handled by n_valid) must produce a bank identical to the
+    # single-device fill
+    mem4, post4 = str(tmp_path / "m4.ckpt"), str(tmp_path / "p4.ckpt")
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "fill_memory",
+                        "--out_path", mem4])   # trainer.devices = 4
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "postprocess_memory",
+                        "--ckpt_path", mem4, "--out_path", post4,
+                        "--trainer.devices", "1"])
+    import torch
+    b1 = torch.load(post, weights_only=True)["state_dict"]
+    b4 = torch.load(post4, weights_only=True)["state_dict"]
+    assert set(b1) == set(b4)
+    for k in b1:
+        np.testing.assert_allclose(b1[k].numpy(), b4[k].numpy(),
+                                   atol=1e-5, rtol=1e-5, err_msg=k)
+
     run_lightning.main(["test", "--config", str(cfg_path),
                         "--model.test_mode", "test", "--ckpt_path", post,
                         "--export_result", str(tmp_path / "res.json")])
@@ -93,3 +113,14 @@ def test_cli_multidevice_test(tmp_path, rng, capsys):
     results = json.loads((tmp_path / "res.json").read_text())
     # all 5 images covered despite device padding
     assert {r["image_id"] for r in results} <= {1, 2, 3, 4, 5}
+
+    # the pipelined multi-device loop must export exactly what the
+    # single-device loop exports (VERDICT r2 #3a)
+    run_lightning.main(["test", "--config", str(cfg_path),
+                        "--model.test_mode", "test", "--ckpt_path", post,
+                        "--export_result", str(tmp_path / "res1.json"),
+                        "--trainer.devices", "1"])
+    capsys.readouterr()
+    got = json.loads((tmp_path / "res.json").read_text())
+    expect = json.loads((tmp_path / "res1.json").read_text())
+    assert got == expect
