@@ -53,7 +53,14 @@ class MatchingConfig:
     with_negative_refs: bool = False
     neg_sigma: float = 0.8
     expand_ratio: int = 8
-    analysis_res: int = 512              # static res for IoS (see module doc)
+    analysis_res: int = 256              # static res for IoS (see module doc)
+    # 256 == the decoder's native low-res mask size, so the IoS binarization
+    # needs NO upsample at all (the [800, 512, 512] bilinear map + layout
+    # copies + 4x-larger intersection GEMM profiled ~8 ms/step at 512).
+    # Intersection/self-area ratios are scale-invariant up to boundary
+    # quantization; measured decay-factor delta vs the reference's
+    # original-size computation: 7e-4 at 256 vs 4e-4 at 512 (blobby-mask
+    # differential, tests/test_pipeline_e2e.py::test_semantic_ios_aspect_*).
     compute_dtype: str = "float32"       # encoders may run bfloat16
     decoder_impl: str = "dense"          # "dense" (reference-shaped, XLA-fused)
     # or "factored" (rank-factored image side, models/sam2/factored_decode.py;
@@ -371,13 +378,17 @@ class NoAMGMatcher:
         ar = m.analysis_res
         lr_sel = lr[mask_idx]
         n_sel = lr_sel.shape[0]
-        sub = 8
-        pad = (-n_sel) % sub
-        lr_pad = jnp.pad(lr_sel, ((0, pad), (0, 0), (0, 0)))
-        bin_up = jax.lax.map(
-            lambda x: resize_hw(x, (ar, ar), mode="bilinear") > 0,
-            lr_pad.reshape(-1, sub, lr_res, lr_res))
-        bin_up = bin_up.reshape(n_sel + pad, ar * ar)[:n_sel]
+        if ar == lr_res:
+            # native mask resolution: binarize directly, no resize
+            bin_up = (lr_sel > 0).reshape(n_sel, ar * ar)
+        else:
+            sub = 8
+            pad = (-n_sel) % sub
+            lr_pad = jnp.pad(lr_sel, ((0, pad), (0, 0), (0, 0)))
+            bin_up = jax.lax.map(
+                lambda x: resize_hw(x, (ar, ar), mode="bilinear") > 0,
+                lr_pad.reshape(-1, sub, lr_res, lr_res))
+            bin_up = bin_up.reshape(n_sel + pad, ar * ar)[:n_sel]
 
         obj_out = obj_feats[mask_idx]
         obj_sim = jnp.clip(obj_out @ obj_out.T, 0.0)

@@ -57,15 +57,23 @@ class MultiScaleAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, _ = x.shape
+        """x: [B, H, W, C] spatial (q_pool path) or [Bw, T, C] token-major
+        (window-major stage flow — tokens of one window per row group)."""
+        tokens = x.ndim == 3
+        if tokens:
+            b, t, _ = x.shape
+            h = w = None
+        else:
+            b, h, w, _ = x.shape
+            t = h * w
         qkv = nn.Dense(3 * self.dim_out, name="qkv", dtype=self.dtype)(x)
         # contiguous lane slices instead of a (3, heads, d) reshape: the 5-d
         # relayout materialized (profiled ~4ms/step across blocks)
-        qkv = qkv.reshape(b, h * w, 3 * self.dim_out)
+        qkv = qkv.reshape(b, t, 3 * self.dim_out)
         d = self.dim_out
 
-        def heads(t):
-            return t.reshape(b, h * w, self.num_heads, -1)
+        def heads(tt):
+            return tt.reshape(b, tt.shape[1], self.num_heads, -1)
 
         q, k, v = (heads(qkv[..., :d]), heads(qkv[..., d:2 * d]),
                    heads(qkv[..., 2 * d:]))
@@ -77,7 +85,9 @@ class MultiScaleAttention(nn.Module):
 
         out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                    v.transpose(0, 2, 1, 3))
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, -1)
+        out = out.transpose(0, 2, 1, 3)
+        out = (out.reshape(b, out.shape[1], -1) if tokens
+               else out.reshape(b, h, w, -1))
         return nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
 
 
@@ -91,7 +101,30 @@ class MultiScaleBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tokens=False):
+        """Spatial path (tokens=False): x [B, H, W, C], handles q-pool /
+        dim-change / windowing internally — the reference block semantics
+        (hieradet.py:82-165).
+
+        Token path (tokens=True): x [Bw, T, C] ALREADY window-partitioned by
+        the stage driver (Hiera.__call__); only uniform blocks qualify
+        (dim == dim_out, no q-pool). Global blocks arrive as [B, N, C] — full
+        attention is permutation-invariant, so window-major token order is
+        as good as raster order. Same submodules in the same trace order, so
+        the parameter tree is identical to the spatial path."""
+        if tokens:
+            assert self.dim == self.dim_out and not self.q_stride
+            shortcut = x
+            xn = LayerNorm(eps=1e-6, name="norm1", dtype=self.dtype)(x)
+            xw = MultiScaleAttention(self.dim_out, self.num_heads,
+                                     q_pool=False, name="attn",
+                                     dtype=self.dtype)(xn)
+            x = shortcut + xw
+            xm = LayerNorm(eps=1e-6, name="norm2", dtype=self.dtype)(x)
+            return x + MLP(int(self.dim_out * self.mlp_ratio), self.dim_out,
+                           2, activation="gelu", name="mlp",
+                           dtype=self.dtype)(xm)
+
         shortcut = x
         xn = LayerNorm(eps=1e-6, name="norm1", dtype=self.dtype)(x)
 
@@ -141,6 +174,7 @@ class Hiera(nn.Module):
     window_spec: Tuple[int, ...] = (8, 4, 14, 7)
     global_att_blocks: Tuple[int, ...] = (12, 16, 20)
     return_interm_layers: bool = True
+    force_spatial: bool = False   # disable the window-major stage flow
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -191,9 +225,58 @@ class Hiera(nn.Module):
         x = self.patch_proj(x)  # [B, H/4, W/4, C]
         x = x + self._pos_embed_for(x.shape[1], x.shape[2])
         outputs = []
-        for i, blk in enumerate(self.blocks):
-            x = blk(x)
-            if (i == self.stage_ends[-1]) or (
-                    i in self.stage_ends and self.return_interm_layers):
-                outputs.append(x)
+        depth = len(self.blocks)
+        q_pool_blocks = [e + 1 for e in self.stage_ends[:-1]][: self.q_pool]
+        i = 0
+        while i < depth:
+            blk = self.blocks[i]
+            transition = (i in q_pool_blocks
+                          or blk.dim != blk.dim_out or blk.q_stride)
+            b, h, w = x.shape[0], x.shape[1], x.shape[2]
+            ws = blk.window_size
+            # Window-major stage flow: partition ONCE, run every uniform
+            # block of the stage on token-major tensors (consecutive
+            # partition/unpartition pairs are inverse permutations; global
+            # attention is permutation-invariant), unpartition ONCE at the
+            # stage end. Kills the per-block pack/unpack transposes that
+            # profiled ~4 ms/step at the flagship shapes. Requires no
+            # window padding; anything irregular falls back to the
+            # per-block spatial path (identical math).
+            run = []
+            if (not self.force_spatial and not transition and ws > 0
+                    and h % ws == 0 and w % ws == 0):
+                j = i
+                while j < depth:
+                    bj = self.blocks[j]
+                    if (bj.q_stride or bj.dim != bj.dim_out
+                            or j in q_pool_blocks
+                            or bj.window_size not in (0, ws)):
+                        break
+                    run.append(j)
+                    if j in self.stage_ends:  # x must be spatial at stage
+                        break                 # ends (FPN taps)
+                    j += 1
+            if len(run) > 1:
+                xw, _ = window_partition(x, ws)           # [B*nw, ws, ws, C]
+                nw = xw.shape[0] // b
+                xw = xw.reshape(b * nw, ws * ws, -1)
+                for j in run:
+                    bj = self.blocks[j]
+                    if bj.window_size == 0:               # global block
+                        xg = xw.reshape(b, nw * ws * ws, -1)
+                        xg = bj(xg, tokens=True)
+                        xw = xg.reshape(b * nw, ws * ws, -1)
+                    else:
+                        xw = bj(xw, tokens=True)
+                x = window_unpartition(
+                    xw.reshape(b * nw, ws, ws, -1), ws, (h, w), (h, w))
+                consumed = run
+            else:
+                x = blk(x)
+                consumed = [i]
+            for j in consumed:
+                if (j == self.stage_ends[-1]) or (
+                        j in self.stage_ends and self.return_interm_layers):
+                    outputs.append(x)
+            i = consumed[-1] + 1
         return outputs

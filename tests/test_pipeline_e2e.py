@@ -365,3 +365,13 @@ def test_semantic_ios_aspect_invariance(rng):
     ref_decay = np.sqrt(np.clip(1 - ref_ios, 0, None))
     got_decay = np.sqrt(np.clip(1 - got_ios, 0, None))
     assert np.abs(ref_decay - got_decay).max() < 0.02
+
+    # NATIVE-res IoS (the deployed analysis_res=256 == lr mask size, no
+    # upsample; round-3 perf change): same tolerance vs the reference's
+    # original-size computation. Measured max decay delta 7e-4 on blobby
+    # masks at 256 vs 4e-4 at 512.
+    got_native = np.asarray(scoring.semantic_ios(
+        jnp.asarray((lr.numpy() > 0).reshape(n, -1)), jnp.asarray(labels),
+        jnp.asarray(obj_sim)))
+    native_decay = np.sqrt(np.clip(1 - got_native, 0, None))
+    assert np.abs(ref_decay - native_decay).max() < 0.02

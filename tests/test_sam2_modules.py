@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from ref_loader import install_reference_shim, reference_available  # noqa: E402
@@ -84,6 +85,55 @@ def test_hiera_tiny():
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), r,
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_hiera_window_major_runs_torch_parity():
+    """Geometry chosen so the window-major stage flow activates: multi-block
+    uniform runs in every stage, one GLOBAL block inside a run (full
+    attention is permutation-invariant, so window-major token order must
+    give identical results)."""
+    kwargs = dict(embed_dim=32, num_heads=1, stages=(2, 3, 4, 2),
+                  global_att_blocks=(7,), q_pool=3,
+                  window_pos_embed_bkg_spatial_size=(2, 2),
+                  window_spec=(4, 2, 4, 2))
+    t = _seed_all(THiera(**kwargs).eval())
+    x = torch.randn(1, 3, 64, 64, generator=torch.Generator().manual_seed(4))
+    with torch.no_grad():
+        ref = [o.numpy() for o in t(x)]
+
+    m = Hiera(**kwargs)
+    params = tc.convert_hiera(tc.torch_sd_to_numpy(t))
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    got = m.apply({"params": params}, xj)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), r,
+                                   atol=5e-4, rtol=1e-3)
+    # and the token-major flow equals the forced per-block spatial path
+    ms = Hiera(**kwargs, force_spatial=True)
+    spatial = ms.apply({"params": params}, xj)
+    for g, s in zip(got, spatial):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(s), atol=1e-6)
+
+
+def test_hiera_flagship_depth_window_major_consistency():
+    """Full Hiera-L block schedule (48 blocks, 3 globals inside stage-3
+    runs) at a reduced image size: window-major flow == spatial flow."""
+    kwargs = dict(embed_dim=16, num_heads=1, stages=(2, 6, 36, 4),
+                  global_att_blocks=(23, 33, 43), q_pool=3,
+                  window_pos_embed_bkg_spatial_size=(7, 7),
+                  window_spec=(8, 4, 16, 8))
+    m = Hiera(**kwargs)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 256, 256, 3)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    got = m.apply({"params": params}, x)
+    ms = Hiera(**kwargs, force_spatial=True)
+    spatial = ms.apply({"params": params}, x)
+    assert len(got) == 4
+    for g, s in zip(got, spatial):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(s), atol=2e-5,
+                                   rtol=1e-4)
 
 
 def test_fpn_neck():
