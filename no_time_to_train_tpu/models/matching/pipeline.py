@@ -188,12 +188,23 @@ class NoAMGMatcher:
                 key, seed + 1,
                 cache_tag=("dino", repr(self.enc_cfg), type(self.dino).__name__))
         # Params live on device permanently (numpy leaves would be re-uploaded
-        # on EVERY execute — catastrophic over a remote-TPU link). Master
-        # copies are kept in the compute dtype for the encoders' weights.
-        self.sam2_params = jax.device_put(
-            jax.tree.map(jnp.asarray, sam2_params))
-        self.dino_params = jax.device_put(
-            jax.tree.map(jnp.asarray, dino_params))
+        # on EVERY execute — catastrophic over a remote-TPU link). Float
+        # leaves are pre-cast to the compute dtype: flax's promote_dtype
+        # would convert f32->bf16 at every use anyway (same rounding), but
+        # storing them f32 makes XLA feed f32 weight operands into the
+        # encoder GEMM custom-calls, which then run fp32 MXU passes at ~1/3
+        # the bf16 rate (profiled: 82 vs 205 TF/s) and double weight HBM.
+        def _to_device(tree):
+            def leaf(a):
+                a = jnp.asarray(a)
+                if dtype != jnp.float32 and jnp.issubdtype(a.dtype,
+                                                           jnp.floating):
+                    a = a.astype(dtype)
+                return a
+            return jax.device_put(jax.tree.map(leaf, tree))
+
+        self.sam2_params = _to_device(sam2_params)
+        self.dino_params = _to_device(dino_params)
 
         gs = self.enc_cfg.grid_size
         self.bank = mb.create(n_classes, memory_length, gs * gs,

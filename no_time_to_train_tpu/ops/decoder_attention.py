@@ -49,8 +49,8 @@ _INTERPRET = False
 
 
 def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
-                wout_ref, bout_ref, nw_ref, nb_ref, seg_ref, segT_ref, o_ref,
-                *, sm_scale, eps, elem_f32):
+                wout_ref, bout_ref, nw_ref, nb_ref, seg_ref, segT_ref,
+                lnseg_ref, lnsegT_ref, o_ref, *, sm_scale, eps, elem_f32):
     keys = keys_ref[0]                                   # [bq, C]
     # key_pe enters pre-projected: (keys + pe) @ Wq == keys @ Wq + pe @ Wq,
     # and the [n, I] projection is 4x smaller than re-streaming [n, C] pe
@@ -73,14 +73,26 @@ def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
     # the compute dtype first, stats accumulate in fp32
     rl = keys + y.astype(keys.dtype)
     rf = rl.astype(jnp.float32)
-    mu = jnp.mean(rf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
     if elem_f32:
+        # test/CPU path: keep the exact _layer_norm op order
+        mu = jnp.mean(rf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + eps)
         z = (rf - mu) * inv * nw_ref[0] + nb_ref[0]
     else:
-        z = (rl - mu.astype(keys.dtype)) * inv.astype(keys.dtype)
-        z = z * nw_ref[0].astype(keys.dtype) + nb_ref[0].astype(keys.dtype)
+        # LN statistics as MXU dots (cross-LANE VPU reductions over the
+        # 256-wide row are multi-pass; the [bq, C] @ [C, 8] mean / E[x^2]
+        # dots + [bq, 8] @ [8, C] broadcasts are ~8 MFLOP — free on the MXU;
+        # E[x^2]-mu^2 matches jnp.var's one-pass formulation to f32 noise)
+        mu8 = jnp.dot(rf, lnseg_ref[...], preferred_element_type=jnp.float32)
+        ex2 = jnp.dot(rf * rf, lnseg_ref[...],
+                      preferred_element_type=jnp.float32)
+        inv8 = jax.lax.rsqrt(jnp.maximum(ex2 - mu8 * mu8, 0.0) + eps)
+        mub = jnp.dot(mu8, lnsegT_ref[...], preferred_element_type=jnp.float32)
+        invb = jnp.dot(inv8, lnsegT_ref[...],
+                       preferred_element_type=jnp.float32)
+        zf = (rf - mub) * (invb * nw_ref[0]) + nb_ref[0]
+        z = zf.astype(keys.dtype)
     o_ref[0] = z.astype(o_ref.dtype)
 
 
@@ -128,6 +140,8 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
                       .astype(np.float32))                # [H*Np, H]
     segT = jnp.asarray((np.arange(h)[:, None] == segid[None])
                        .astype(np.float32))               # [H, H*Np]
+    lnseg = jnp.full((c, 8), 1.0 / c, jnp.float32)        # row-mean dot
+    lnsegT = jnp.full((8, c), 1.0 / 8, jnp.float32)       # lane broadcast
 
     grid = (p_, n // bq_pos)
     k_idx = (lambda p, b: (0, b, 0)) if pk == 1 else (lambda p, b: (p, b, 0))
@@ -150,6 +164,8 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
             pl.BlockSpec((1, c), lambda p, b: (0, 0)),
             pl.BlockSpec((h * np_, h), lambda p, b: (0, 0)),
             pl.BlockSpec((h, h * np_), lambda p, b: (0, 0)),
+            pl.BlockSpec((c, 8), lambda p, b: (0, 0)),
+            pl.BlockSpec((8, c), lambda p, b: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq_pos, c), lambda p, b: (p, b, 0)),
         out_shape=jax.ShapeDtypeStruct((p_, n, c), dt),
@@ -159,7 +175,7 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
     )(keys.astype(dt), pe_q.astype(dt), kbd, pad_bias, vbd,
       wq.astype(dt), bq[None].astype(jnp.float32), wout.astype(dt),
       bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
-      norm_b[None].astype(jnp.float32), seg, segT)
+      norm_b[None].astype(jnp.float32), seg, segT, lnseg, lnsegT)
     return out
 
 
