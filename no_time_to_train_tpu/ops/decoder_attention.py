@@ -49,8 +49,8 @@ _INTERPRET = False
 
 
 def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
-                wout_ref, bout_ref, nw_ref, nb_ref, seg_ref, segT_ref,
-                lnseg_ref, lnsegT_ref, o_ref, *, sm_scale, eps, elem_f32):
+                wout_ref, bout_ref, nw_ref, nb_ref, seg_ref, segT_ref, o_ref,
+                *, sm_scale, eps, elem_f32):
     keys = keys_ref[0]                                   # [bq, C]
     # key_pe enters pre-projected: (keys + pe) @ Wq == keys @ Wq + pe @ Wq,
     # and the [n, I] projection is 4x smaller than re-streaming [n, C] pe
@@ -73,26 +73,18 @@ def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
     # the compute dtype first, stats accumulate in fp32
     rl = keys + y.astype(keys.dtype)
     rf = rl.astype(jnp.float32)
+    # (measured-and-rejected: LN stats as MXU segment dots — the extra
+    # rf*rf pass + broadcast dots cost ~0.74 ms/pass MORE than the native
+    # cross-lane reductions here, 3.01 vs 2.27 ms/pass e2e-profiled; the
+    # trick wins in the upscale kernel but this kernel is not VPU-bound.)
+    mu = jnp.mean(rf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
     if elem_f32:
-        # test/CPU path: keep the exact _layer_norm op order
-        mu = jnp.mean(rf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
-        inv = jax.lax.rsqrt(var + eps)
         z = (rf - mu) * inv * nw_ref[0] + nb_ref[0]
     else:
-        # LN statistics as MXU dots (cross-LANE VPU reductions over the
-        # 256-wide row are multi-pass; the [bq, C] @ [C, 8] mean / E[x^2]
-        # dots + [bq, 8] @ [8, C] broadcasts are ~8 MFLOP — free on the MXU;
-        # E[x^2]-mu^2 matches jnp.var's one-pass formulation to f32 noise)
-        mu8 = jnp.dot(rf, lnseg_ref[...], preferred_element_type=jnp.float32)
-        ex2 = jnp.dot(rf * rf, lnseg_ref[...],
-                      preferred_element_type=jnp.float32)
-        inv8 = jax.lax.rsqrt(jnp.maximum(ex2 - mu8 * mu8, 0.0) + eps)
-        mub = jnp.dot(mu8, lnsegT_ref[...], preferred_element_type=jnp.float32)
-        invb = jnp.dot(inv8, lnsegT_ref[...],
-                       preferred_element_type=jnp.float32)
-        zf = (rf - mub) * (invb * nw_ref[0]) + nb_ref[0]
-        z = zf.astype(keys.dtype)
+        z = (rl - mu.astype(keys.dtype)) * inv.astype(keys.dtype)
+        z = z * nw_ref[0].astype(keys.dtype) + nb_ref[0].astype(keys.dtype)
     o_ref[0] = z.astype(o_ref.dtype)
 
 
@@ -140,12 +132,27 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
                       .astype(np.float32))                # [H*Np, H]
     segT = jnp.asarray((np.arange(h)[:, None] == segid[None])
                        .astype(np.float32))               # [H, H*Np]
-    lnseg = jnp.full((c, 8), 1.0 / c, jnp.float32)        # row-mean dot
-    lnsegT = jnp.full((8, c), 1.0 / 8, jnp.float32)       # lane broadcast
 
-    grid = (p_, n // bq_pos)
-    k_idx = (lambda p, b: (0, b, 0)) if pk == 1 else (lambda p, b: (p, b, 0))
-    pe_idx = (lambda p, b: (0, b, 0)) if pe_b == 1 else (lambda p, b: (p, b, 0))
+    nb = n // bq_pos
+    bcast = pk == 1 and pe_b == 1
+    if bcast:
+        # Broadcast keys (layer 0: every prompt attends the SAME image
+        # features). With the prompt dim innermost, the keys/pe blocks'
+        # index depends only on the OUTER grid dim, so each block is DMA'd
+        # once and stays VMEM-resident across the whole prompt sweep —
+        # the (p, b) order re-fetched the same ~1.5 MB for every prompt
+        # (~0.75 GB/chunk of redundant HBM reads at flagship shapes).
+        grid = (nb, p_)
+        gp = lambda f: (lambda b, p: f(p, b))
+        dims = ("arbitrary", "arbitrary")
+    else:
+        grid = (p_, nb)
+        gp = lambda f: f
+        dims = ("parallel", "arbitrary")
+    k_idx = gp((lambda p, b: (0, b, 0)) if pk == 1
+               else (lambda p, b: (p, b, 0)))
+    pe_idx = gp((lambda p, b: (0, b, 0)) if pe_b == 1
+                else (lambda p, b: (p, b, 0)))
     out = pl.pallas_call(
         functools.partial(_i2t_kernel, sm_scale=1.0 / (dh ** 0.5), eps=eps,
                           elem_f32=(dt == jnp.float32)),
@@ -153,29 +160,27 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
         in_specs=[
             pl.BlockSpec((1, bq_pos, c), k_idx),
             pl.BlockSpec((1, bq_pos, i), pe_idx),
-            pl.BlockSpec((1, i, h * np_), lambda p, b: (p, 0, 0)),
-            pl.BlockSpec((1, h * np_), lambda p, b: (0, 0)),
-            pl.BlockSpec((1, h * np_, i), lambda p, b: (p, 0, 0)),
-            pl.BlockSpec((c, i), lambda p, b: (0, 0)),
-            pl.BlockSpec((1, i), lambda p, b: (0, 0)),
-            pl.BlockSpec((i, c), lambda p, b: (0, 0)),
-            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
-            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
-            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
-            pl.BlockSpec((h * np_, h), lambda p, b: (0, 0)),
-            pl.BlockSpec((h, h * np_), lambda p, b: (0, 0)),
-            pl.BlockSpec((c, 8), lambda p, b: (0, 0)),
-            pl.BlockSpec((8, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, i, h * np_), gp(lambda p, b: (p, 0, 0))),
+            pl.BlockSpec((1, h * np_), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((1, h * np_, i), gp(lambda p, b: (p, 0, 0))),
+            pl.BlockSpec((c, i), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((1, i), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((i, c), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((1, c), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((1, c), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((1, c), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((h * np_, h), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((h, h * np_), gp(lambda p, b: (0, 0))),
         ],
-        out_specs=pl.BlockSpec((1, bq_pos, c), lambda p, b: (p, b, 0)),
+        out_specs=pl.BlockSpec((1, bq_pos, c), gp(lambda p, b: (p, b, 0))),
         out_shape=jax.ShapeDtypeStruct((p_, n, c), dt),
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")))),
+            dimension_semantics=dims))),
     )(keys.astype(dt), pe_q.astype(dt), kbd, pad_bias, vbd,
       wq.astype(dt), bq[None].astype(jnp.float32), wout.astype(dt),
       bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
-      norm_b[None].astype(jnp.float32), seg, segT, lnseg, lnsegT)
+      norm_b[None].astype(jnp.float32), seg, segT)
     return out
 
 
@@ -250,6 +255,41 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
     @pl.when(bi == n_blocks - 1)
     def _finish():
         linv = (1.0 / l_ref[...])[0][:, None]             # [H*Tp, 1]
+        o_ref[0] = (acc_ref[...] * linv).astype(o_ref.dtype)
+
+
+def _t2i_pre_kernel(kk_ref, vv_ref, qbd_ref, bias_ref, o_ref, m_ref, l_ref,
+                    acc_ref, *, n_blocks):
+    """_t2i_kernel with the k/v projections PRE-computed (broadcast-keys
+    layer 0: kk/vv are identical for every prompt, so the in-kernel
+    per-prompt reprojection would redo the same [n, C] @ [C, I] GEMMs
+    256x per chunk — ~137 GFLOP of redundant MXU work)."""
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kk = kk_ref[...]
+    vv = vv_ref[...]
+    s = jnp.dot(kk, qbd_ref[0], preferred_element_type=jnp.float32)
+    s = s + bias_ref[0].astype(jnp.float32)
+    m_cur = jnp.max(s, axis=0, keepdims=True)
+    m_new = jnp.maximum(m_ref[...], m_cur)
+    alpha = jnp.exp(m_ref[...] - m_new)
+    e = jnp.exp(s - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(e, axis=0, keepdims=True)
+    upd = jax.lax.dot_general(e.astype(kk.dtype), vv,
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[0][:, None] + upd
+    m_ref[...] = m_new
+
+    @pl.when(bi == n_blocks - 1)
+    def _finish():
+        linv = (1.0 / l_ref[...])[0][:, None]
         o_ref[0] = (acc_ref[...] * linv).astype(o_ref.dtype)
 
 

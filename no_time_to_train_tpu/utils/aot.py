@@ -28,6 +28,25 @@ def _compile_platform():
     return jax.default_backend()
 
 
+def _source_digest():
+    """Content hash of the package's .py files: a serialized executable
+    captures the traced program, so ANY source change must invalidate the
+    artifact (the jax/platform fields alone would happily load a stale
+    executable compiled from older kernels)."""
+    import hashlib
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                h.update(p.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _fingerprint():
     import jax
     platform = _compile_platform()
@@ -37,6 +56,7 @@ def _fingerprint():
         "platform": platform,
         "device_kind": getattr(d, "device_kind", "?"),
         "n_devices": len(jax.devices(platform)),
+        "source": _source_digest(),
     }
 
 
