@@ -43,6 +43,15 @@ def _layer_norm(x, weight, bias, eps, dtype):
     the HBM traffic of the per-prompt key norms, which profiling showed as a
     top cost of the grid decode. In fp32 mode it is bit-identical to the
     all-fp32 formulation used by the parity tests."""
+    if dtype != jnp.float32 and x.dtype == dtype:
+        # bf16 encoder norms: one Pallas pass instead of XLA's convert+
+        # reduce fusion pair (f32 intermediates + packed-layout relayouts,
+        # ~11 ms/step across the Hiera/DINO blocks at flagship shapes);
+        # same stats dtype and cast points, see ops/fused_ln.py
+        from no_time_to_train_tpu.ops.fused_ln import (
+            ln_fusible, layer_norm_pallas)
+        if ln_fusible(x):
+            return layer_norm_pallas(x, weight, bias, eps)
     xf = x.astype(jnp.float32)
     u = xf.mean(axis=-1, keepdims=True)
     s = jnp.square(xf - u).mean(axis=-1, keepdims=True)

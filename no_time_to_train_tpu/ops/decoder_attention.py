@@ -50,13 +50,20 @@ _INTERPRET = False
 
 def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
                 wout_ref, bout_ref, nw_ref, nb_ref, seg_ref, segT_ref, o_ref,
-                *, sm_scale, eps, elem_f32):
+                *, sm_scale, eps, elem_f32, pe_whole=False):
     keys = keys_ref[0]                                   # [bq, C]
     # key_pe enters pre-projected: (keys + pe) @ Wq == keys @ Wq + pe @ Wq,
     # and the [n, I] projection is 4x smaller than re-streaming [n, C] pe
     # for every prompt block
+    if pe_whole:
+        # pe is one VMEM-resident [1, n, I] block (its per-(p, b) restream
+        # was ~256 MB/chunk of redundant DMA); slice this step's rows
+        bq = keys_ref.shape[1]
+        peq = peq_ref[0, pl.ds(pl.program_id(1) * bq, bq), :]
+    else:
+        peq = peq_ref[0]
     qi = jnp.dot(keys, wq_ref[...], preferred_element_type=jnp.float32)
-    qi = ((qi + peq_ref[0].astype(jnp.float32)
+    qi = ((qi + peq.astype(jnp.float32)
            + bq_ref[0].astype(jnp.float32)) * sm_scale).astype(keys.dtype)
     s = jnp.dot(qi, kbd_ref[0], preferred_element_type=jnp.float32)
     s = s + bias_ref[0].astype(jnp.float32)              # [bq, H*Np]
@@ -77,12 +84,19 @@ def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
     # rf*rf pass + broadcast dots cost ~0.74 ms/pass MORE than the native
     # cross-lane reductions here, 3.01 vs 2.27 ms/pass e2e-profiled; the
     # trick wins in the upscale kernel but this kernel is not VPU-bound.)
-    mu = jnp.mean(rf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
     if elem_f32:
+        # test/CPU path: exact _layer_norm two-pass op order
+        mu = jnp.mean(rf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + eps)
         z = (rf - mu) * inv * nw_ref[0] + nb_ref[0]
     else:
+        # one-pass stats (E[x^2] - mu^2): both reductions read rf once
+        # instead of the dependent two-pass form; within f32 noise of
+        # jnp.var and below bf16 output rounding
+        mu = jnp.mean(rf, axis=-1, keepdims=True)
+        ex2 = jnp.mean(rf * rf, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
         z = (rl - mu.astype(keys.dtype)) * inv.astype(keys.dtype)
         z = z * nw_ref[0].astype(keys.dtype) + nb_ref[0].astype(keys.dtype)
     o_ref[0] = z.astype(o_ref.dtype)
@@ -151,15 +165,23 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
         dims = ("parallel", "arbitrary")
     k_idx = gp((lambda p, b: (0, b, 0)) if pk == 1
                else (lambda p, b: (p, b, 0)))
-    pe_idx = gp((lambda p, b: (0, b, 0)) if pe_b == 1
-                else (lambda p, b: (p, b, 0)))
+    # per-prompt keys + shared pe: hold the WHOLE [1, n, I] pe resident in
+    # VMEM (constant index) and slice rows in-kernel — the (0, b, 0) block
+    # stream re-fetched the same pe for every prompt
+    pe_whole = (not bcast) and pe_b == 1 and nb > 1
+    if pe_whole:
+        pe_spec = pl.BlockSpec((1, n, i), gp(lambda p, b: (0, 0, 0)))
+    else:
+        pe_spec = pl.BlockSpec((1, bq_pos, i),
+                               gp((lambda p, b: (0, b, 0)) if pe_b == 1
+                                  else (lambda p, b: (p, b, 0))))
     out = pl.pallas_call(
         functools.partial(_i2t_kernel, sm_scale=1.0 / (dh ** 0.5), eps=eps,
-                          elem_f32=(dt == jnp.float32)),
+                          elem_f32=(dt == jnp.float32), pe_whole=pe_whole),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq_pos, c), k_idx),
-            pl.BlockSpec((1, bq_pos, i), pe_idx),
+            pe_spec,
             pl.BlockSpec((1, i, h * np_), gp(lambda p, b: (p, 0, 0))),
             pl.BlockSpec((1, h * np_), gp(lambda p, b: (0, 0))),
             pl.BlockSpec((1, h * np_, i), gp(lambda p, b: (p, 0, 0))),
@@ -214,14 +236,18 @@ def fused_i2t_norm_xla(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout,
 
 def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, o_ref, m_ref, l_ref, acc_ref, *, n_blocks):
-    """Token->image attention with the k/v projections in-kernel and online
+    """Token->image attention with the k projection in-kernel and online
     softmax over the streamed image blocks.
 
-    Per (prompt, k-block) step: kk/vv = (keys + pe) @ Wk, keys @ Wv; the
-    per-head logits for ALL (head, token) pairs land in one lane-full GEMM
-    S_T = kk @ Qbd [bk, H*Tp]; running max/sum per (head, token) lane with
-    the value accumulator O[(h, t), (h', dh)] built by a contraction over the
-    block rows — the h' mismatch blocks are discarded by the caller."""
+    Per (prompt, k-block) step: kk = (keys + pe) @ Wk; the per-head logits
+    for ALL (head, token) pairs land in one lane-full GEMM S_T = kk @ Qbd
+    [bk, H*Tp]; running max/sum per (head, token) lane. The value side uses
+    sum_j e_j (keys_j @ Wv + bv) == (e^T @ keys) @ Wv + (sum_j e_j) bv:
+    accumulating A[(h, t), C] = e^T @ keys and projecting through Wv ONCE at
+    the end replaces the per-(prompt, block) keys @ Wv GEMM — 2x the
+    accumulation FLOPs (C vs I lanes) but minus the [bk, C] @ [C, I]
+    projection, net ~0.14 GFLOP saved per prompt at flagship shapes. The h'
+    mismatch blocks are discarded by the caller."""
     bi = pl.program_id(1)
 
     @pl.when(bi == 0)
@@ -235,8 +261,6 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
     kk = jnp.dot(keys, wk_ref[...], preferred_element_type=jnp.float32)
     kk = (kk + pek_ref[0].astype(jnp.float32)
           + bk_ref[0].astype(jnp.float32)).astype(keys.dtype)
-    vv = jnp.dot(keys, wv_ref[...], preferred_element_type=jnp.float32)
-    vv = (vv + bv_ref[0].astype(jnp.float32)).astype(keys.dtype)
 
     s = jnp.dot(kk, qbd_ref[0], preferred_element_type=jnp.float32)
     s = s + bias_ref[0].astype(jnp.float32)               # [bk, H*Tp]
@@ -245,8 +269,8 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
     alpha = jnp.exp(m_ref[...] - m_new)                   # [1, H*Tp]
     e = jnp.exp(s - m_new)                                # [bk, H*Tp]
     l_ref[...] = l_ref[...] * alpha + jnp.sum(e, axis=0, keepdims=True)
-    # acc[(h, t), (h', dh)] += e.T @ vv  (contraction over block rows)
-    upd = jax.lax.dot_general(e.astype(keys.dtype), vv,
+    # acc[(h, t), C] += e.T @ keys  (contraction over block rows)
+    upd = jax.lax.dot_general(e.astype(keys.dtype), keys,
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     acc_ref[...] = acc_ref[...] * alpha[0][:, None] + upd
@@ -255,7 +279,11 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
     @pl.when(bi == n_blocks - 1)
     def _finish():
         linv = (1.0 / l_ref[...])[0][:, None]             # [H*Tp, 1]
-        o_ref[0] = (acc_ref[...] * linv).astype(o_ref.dtype)
+        # normalize BEFORE the Wv projection (linear, so it commutes) and
+        # round to the compute dtype for a clean single-dtype MXU dot
+        av = (acc_ref[...] * linv).astype(wv_ref.dtype)
+        ov = jnp.dot(av, wv_ref[...], preferred_element_type=jnp.float32)
+        o_ref[0] = (ov + bv_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def _t2i_pre_kernel(kk_ref, vv_ref, qbd_ref, bias_ref, o_ref, m_ref, l_ref,
@@ -334,6 +362,45 @@ def fused_t2i_attn(keys, pe_k, tok_q, wk, bk, wv, bv, *, num_heads,
     pad_bias = jnp.asarray(np.tile(pad_bias, (h, 1)).reshape(1, h * tp),
                            jnp.float32)
 
+    if pk == 1 and pe_b == 1:
+        # Broadcast keys (layer 0): kk/vv are prompt-independent — project
+        # ONCE in XLA (two [n, C] @ [C, I] GEMMs) instead of re-projecting
+        # inside the kernel for all P prompts (~137 GFLOP/chunk redundant
+        # MXU at flagship shapes). Numerics identical: same bf16 dot with
+        # f32 accumulation, pe rounded through the compute dtype first.
+        kk = (jnp.dot(keys[0].astype(dt), wk.astype(dt),
+                      preferred_element_type=jnp.float32)
+              + pe_k[0].astype(dt).astype(jnp.float32)
+              + bk.astype(jnp.float32)).astype(dt)
+        vv = (jnp.dot(keys[0].astype(dt), wv.astype(dt),
+                      preferred_element_type=jnp.float32)
+              + bv.astype(jnp.float32)).astype(dt)
+        out = pl.pallas_call(
+            functools.partial(_t2i_pre_kernel, n_blocks=n_blocks),
+            grid=(p_, n_blocks),
+            in_specs=[
+                pl.BlockSpec((bk_pos, i), lambda p, b: (b, 0)),
+                pl.BlockSpec((bk_pos, i), lambda p, b: (b, 0)),
+                pl.BlockSpec((1, i, h * tp), lambda p, b: (p, 0, 0)),
+                pl.BlockSpec((1, h * tp), lambda p, b: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, h * tp, i), lambda p, b: (p, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((p_, h * tp, i), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((1, h * tp), jnp.float32),
+                pltpu.VMEM((1, h * tp), jnp.float32),
+                pltpu.VMEM((h * tp, i), jnp.float32),
+            ],
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")))),
+        )(kk, vv, qbd, pad_bias)
+        o4 = out.reshape(p_, h, tp, h, dh)
+        o4 = o4[:, jnp.arange(h), :, jnp.arange(h), :]
+        return (o4.transpose(1, 2, 0, 3)[:, :t]
+                .reshape(p_, t, i).astype(dt))
+
     grid = (p_, n_blocks)
     k_idx = (lambda p, b: (0, b, 0)) if pk == 1 else (lambda p, b: (p, b, 0))
     pe_idx = (lambda p, b: (0, b, 0)) if pe_b == 1 \
@@ -356,7 +423,7 @@ def fused_t2i_attn(keys, pe_k, tok_q, wk, bk, wv, bv, *, num_heads,
         scratch_shapes=[
             pltpu.VMEM((1, h * tp), jnp.float32),
             pltpu.VMEM((1, h * tp), jnp.float32),
-            pltpu.VMEM((h * tp, i), jnp.float32),
+            pltpu.VMEM((h * tp, c), jnp.float32),
         ],
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(

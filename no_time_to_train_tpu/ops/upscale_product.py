@@ -247,7 +247,12 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
                             preferred_element_type=t1.dtype)
         return fused_post_t1_xla(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2,
                                  s0f16, hyper, eps=eps)
-    grid = (b // pb, hw // pt)
+    # position-tile OUTER, prompt-block INNER: the shared skip blocks
+    # (s1f/s0f16, ~6 MB combined at flagship shapes) are indexed by t only,
+    # so they are DMA'd once per position tile and stay VMEM-resident across
+    # the whole prompt sweep — the (p, t) order re-fetched them for every
+    # prompt block (~190 MB/chunk of redundant HBM reads)
+    grid = (hw // pt, b // pb)
     dt = t1.dtype
 
     k2bd = k2mat.astype(dt)                  # [c1, 4*c2], shared per quarter
@@ -258,18 +263,18 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
     seg16 = (seg16[:, None] == np.arange(16)[None]).astype(np.float32)
 
     specs = [
-        pl.BlockSpec((pb, pt, m_in), lambda p, t: (p, t, 0)),
-        pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
-        pl.BlockSpec((pt, m1), lambda p, t: (t, 0)),
-        pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
-        pl.BlockSpec((1, m1), lambda p, t: (0, 0)),
-        pl.BlockSpec((c1, 4 * c2), lambda p, t: (0, 0)),
-        pl.BlockSpec((1, 16 * c2), lambda p, t: (0, 0)),
-        pl.BlockSpec((pt, 16 * c2), lambda p, t: (t, 0)),
-        pl.BlockSpec((pb, 16 * c2), lambda p, t: (p, 0)),
-        pl.BlockSpec((m1, 8), lambda p, t: (0, 0)),
-        pl.BlockSpec((8, m1), lambda p, t: (0, 0)),
-        pl.BlockSpec((16 * c2, 16), lambda p, t: (0, 0)),
+        pl.BlockSpec((pb, pt, m_in), lambda t, p: (p, t, 0)),
+        pl.BlockSpec((1, m1), lambda t, p: (0, 0)),
+        pl.BlockSpec((pt, m1), lambda t, p: (t, 0)),
+        pl.BlockSpec((1, m1), lambda t, p: (0, 0)),
+        pl.BlockSpec((1, m1), lambda t, p: (0, 0)),
+        pl.BlockSpec((c1, 4 * c2), lambda t, p: (0, 0)),
+        pl.BlockSpec((1, 16 * c2), lambda t, p: (0, 0)),
+        pl.BlockSpec((pt, 16 * c2), lambda t, p: (t, 0)),
+        pl.BlockSpec((pb, 16 * c2), lambda t, p: (p, 0)),
+        pl.BlockSpec((m1, 8), lambda t, p: (0, 0)),
+        pl.BlockSpec((8, m1), lambda t, p: (0, 0)),
+        pl.BlockSpec((16 * c2, 16), lambda t, p: (0, 0)),
     ]
     operands = [
         t1, bias1_4[None].astype(dt), s1f.astype(dt),
@@ -283,14 +288,14 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
         kernel = functools.partial(_post_t1_kernel, eps=eps)
     else:
         kernel = functools.partial(_from_src_kernel, eps=eps)
-        specs.insert(1, pl.BlockSpec((m_in, m1), lambda p, t: (0, 0)))
+        specs.insert(1, pl.BlockSpec((m_in, m1), lambda t, p: (0, 0)))
         operands.insert(1, k1mat.astype(dt))
 
     if out_16pt:
-        out_specs = pl.BlockSpec((pb, 16, pt), lambda p, t: (p, 0, t))
+        out_specs = pl.BlockSpec((pb, 16, pt), lambda t, p: (p, 0, t))
         out_shape = jax.ShapeDtypeStruct((b, 16, hw), dt)
     else:
-        out_specs = pl.BlockSpec((pb, pt, 16), lambda p, t: (p, t, 0))
+        out_specs = pl.BlockSpec((pb, pt, 16), lambda t, p: (p, t, 0))
         out_shape = jax.ShapeDtypeStruct((b, hw, 16), dt)
     out = pl.pallas_call(
         kernel,
@@ -300,7 +305,7 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
         out_shape=out_shape,
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")))),
+            dimension_semantics=("arbitrary", "arbitrary")))),
     )(*operands)
     return out
 
