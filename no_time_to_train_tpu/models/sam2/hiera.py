@@ -63,6 +63,9 @@ class MultiScaleAttention(nn.Module):
         if tokens:
             b, t, _ = x.shape
             h = w = None
+            # 2-D operand: keeps the qkv GEMM + bias epilogue lane-major
+            # (see MultiScaleBlock token path)
+            x = x.reshape(b * t, x.shape[-1])
         else:
             b, h, w, _ = x.shape
             t = h * w
@@ -86,8 +89,11 @@ class MultiScaleAttention(nn.Module):
         out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                    v.transpose(0, 2, 1, 3))
         out = out.transpose(0, 2, 1, 3)
-        out = (out.reshape(b, out.shape[1], -1) if tokens
-               else out.reshape(b, h, w, -1))
+        if tokens:
+            out = out.reshape(b * out.shape[1], -1)
+            y = nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
+            return y.reshape(b, t, self.dim_out)
+        out = out.reshape(b, h, w, -1)
         return nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
 
 
@@ -114,16 +120,24 @@ class MultiScaleBlock(nn.Module):
         the parameter tree is identical to the spatial path."""
         if tokens:
             assert self.dim == self.dim_out and not self.q_stride
-            shortcut = x
-            xn = LayerNorm(eps=1e-6, name="norm1", dtype=self.dtype)(x)
+            # run the residual stream 2-D [Bw*T, C]: XLA assigns the 3-D
+            # [Bw, T, C] intermediates packed layouts ({0,2,1}/{1,2,0}) that
+            # put every bias/residual epilogue fusion 3-7x over its
+            # bandwidth floor (profiled ~5 ms/step across stages); the flat
+            # form keeps everything lane-major, and the reshapes at the
+            # attention boundary are no-op views
+            bw, t, c0 = x.shape
+            x2 = x.reshape(bw * t, c0)
+            xn = LayerNorm(eps=1e-6, name="norm1", dtype=self.dtype)(x2)
             xw = MultiScaleAttention(self.dim_out, self.num_heads,
                                      q_pool=False, name="attn",
-                                     dtype=self.dtype)(xn)
-            x = shortcut + xw
-            xm = LayerNorm(eps=1e-6, name="norm2", dtype=self.dtype)(x)
-            return x + MLP(int(self.dim_out * self.mlp_ratio), self.dim_out,
-                           2, activation="gelu", name="mlp",
-                           dtype=self.dtype)(xm)
+                                     dtype=self.dtype)(xn.reshape(bw, t, c0))
+            x2 = x2 + xw.reshape(bw * t, self.dim_out)
+            xm = LayerNorm(eps=1e-6, name="norm2", dtype=self.dtype)(x2)
+            x2 = x2 + MLP(int(self.dim_out * self.mlp_ratio), self.dim_out,
+                          2, activation="gelu", name="mlp",
+                          dtype=self.dtype)(xm)
+            return x2.reshape(bw, t, self.dim_out)
 
         shortcut = x
         xn = LayerNorm(eps=1e-6, name="norm1", dtype=self.dtype)(x)

@@ -102,6 +102,43 @@ def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
     o_ref[0] = z.astype(o_ref.dtype)
 
 
+def _i2t_pre_kernel(keys_ref, qi_ref, kbd_ref, bias_ref, vbd_ref, wout_ref,
+                    bout_ref, nw_ref, nb_ref, seg_ref, segT_ref, o_ref,
+                    *, eps, elem_f32):
+    """_i2t_kernel with the q-projection PRE-computed (broadcast-keys layer
+    0: qi is identical for every prompt, so the in-kernel projection would
+    redo the same [n, C] @ [C, I] GEMM for all P prompts — ~137 GFLOP/chunk
+    of redundant MXU at flagship shapes). keys still stream for the
+    residual."""
+    keys = keys_ref[0]                                   # [bq, C]
+    qi = qi_ref[...]                                     # [bq, I] pre-scaled
+    s = jnp.dot(qi, kbd_ref[0], preferred_element_type=jnp.float32)
+    s = s + bias_ref[0].astype(jnp.float32)              # [bq, H*Np]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l8 = jnp.dot(e, seg_ref[...], preferred_element_type=jnp.float32)
+    lb = jnp.dot(1.0 / l8, segT_ref[...], preferred_element_type=jnp.float32)
+    p = (e * lb).astype(keys.dtype)
+    attn = jnp.dot(p, vbd_ref[0], preferred_element_type=jnp.float32)
+    y = jnp.dot(attn.astype(keys.dtype), wout_ref[...],
+                preferred_element_type=jnp.float32)
+    y = y + bout_ref[0].astype(jnp.float32)
+    rl = keys + y.astype(keys.dtype)
+    rf = rl.astype(jnp.float32)
+    if elem_f32:
+        mu = jnp.mean(rf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + eps)
+        z = (rf - mu) * inv * nw_ref[0] + nb_ref[0]
+    else:
+        mu = jnp.mean(rf, axis=-1, keepdims=True)
+        ex2 = jnp.mean(rf * rf, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
+        z = (rl - mu.astype(keys.dtype)) * inv.astype(keys.dtype)
+        z = z * nw_ref[0].astype(keys.dtype) + nb_ref[0].astype(keys.dtype)
+    o_ref[0] = z.astype(o_ref.dtype)
+
+
 def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
                    norm_b, *, num_heads, eps=1e-5, pos_block=2048,
                    interpret=False):
@@ -151,18 +188,50 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
     bcast = pk == 1 and pe_b == 1
     if bcast:
         # Broadcast keys (layer 0: every prompt attends the SAME image
-        # features). With the prompt dim innermost, the keys/pe blocks'
-        # index depends only on the OUTER grid dim, so each block is DMA'd
-        # once and stays VMEM-resident across the whole prompt sweep —
-        # the (p, b) order re-fetched the same ~1.5 MB for every prompt
-        # (~0.75 GB/chunk of redundant HBM reads at flagship shapes).
-        grid = (nb, p_)
-        gp = lambda f: (lambda b, p: f(p, b))
-        dims = ("arbitrary", "arbitrary")
-    else:
-        grid = (p_, nb)
-        gp = lambda f: f
-        dims = ("parallel", "arbitrary")
+        # features). Two de-duplications: (a) the q-projection is computed
+        # ONCE in XLA (the in-kernel one would redo the same [n, C] @ [C, I]
+        # GEMM per prompt, ~137 GFLOP/chunk); (b) with the prompt dim
+        # innermost, the keys/qi blocks' index depends only on the OUTER
+        # grid dim, so each is DMA'd once and stays VMEM-resident across
+        # the whole prompt sweep (the (p, b) order re-fetched ~0.75
+        # GB/chunk). Numerics identical: same bf16 dot, f32 adds/scale,
+        # same cast points as the in-kernel projection.
+        qi = (jnp.dot(keys[0].astype(dt), wq.astype(dt),
+                      preferred_element_type=jnp.float32)
+              + pe_q[0].astype(dt).astype(jnp.float32)
+              + bq.astype(jnp.float32)) * (1.0 / (dh ** 0.5))
+        qi = qi.astype(dt)
+        out = pl.pallas_call(
+            functools.partial(_i2t_pre_kernel, eps=eps,
+                              elem_f32=(dt == jnp.float32)),
+            grid=(nb, p_),
+            in_specs=[
+                pl.BlockSpec((1, bq_pos, c), lambda b, p: (0, b, 0)),
+                pl.BlockSpec((bq_pos, i), lambda b, p: (b, 0)),
+                pl.BlockSpec((1, i, h * np_), lambda b, p: (p, 0, 0)),
+                pl.BlockSpec((1, h * np_), lambda b, p: (0, 0)),
+                pl.BlockSpec((1, h * np_, i), lambda b, p: (p, 0, 0)),
+                pl.BlockSpec((i, c), lambda b, p: (0, 0)),
+                pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+                pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+                pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+                pl.BlockSpec((h * np_, h), lambda b, p: (0, 0)),
+                pl.BlockSpec((h, h * np_), lambda b, p: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq_pos, c), lambda b, p: (p, b, 0)),
+            out_shape=jax.ShapeDtypeStruct((p_, n, c), dt),
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary")))),
+        )(keys.astype(dt), qi, kbd, pad_bias, vbd, wout.astype(dt),
+          bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
+          norm_b[None].astype(jnp.float32), seg, segT)
+        return out
+
+    grid = (p_, nb)
+    gp = lambda f: f
+    dims = ("parallel", "arbitrary")
     k_idx = gp((lambda p, b: (0, b, 0)) if pk == 1
                else (lambda p, b: (p, b, 0)))
     # per-prompt keys + shared pe: hold the WHOLE [1, n, I] pe resident in
@@ -261,6 +330,8 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
     kk = jnp.dot(keys, wk_ref[...], preferred_element_type=jnp.float32)
     kk = (kk + pek_ref[0].astype(jnp.float32)
           + bk_ref[0].astype(jnp.float32)).astype(keys.dtype)
+    vv = jnp.dot(keys, wv_ref[...], preferred_element_type=jnp.float32)
+    vv = (vv + bv_ref[0].astype(jnp.float32)).astype(keys.dtype)
 
     s = jnp.dot(kk, qbd_ref[0], preferred_element_type=jnp.float32)
     s = s + bias_ref[0].astype(jnp.float32)               # [bk, H*Tp]
@@ -269,8 +340,12 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
     alpha = jnp.exp(m_ref[...] - m_new)                   # [1, H*Tp]
     e = jnp.exp(s - m_new)                                # [bk, H*Tp]
     l_ref[...] = l_ref[...] * alpha + jnp.sum(e, axis=0, keepdims=True)
-    # acc[(h, t), C] += e.T @ keys  (contraction over block rows)
-    upd = jax.lax.dot_general(e.astype(keys.dtype), keys,
+    # acc[(h, t), (h', dh)] += e.T @ vv  (contraction over block rows).
+    # (measured-and-rejected: accumulating e^T @ keys and projecting through
+    # Wv once at finish — the [bk, H*Tp]^T @ [bk, C] accumulation at N=256
+    # lanes cost MORE than the saved keys @ Wv projection, 1.76 vs 1.455
+    # ms/pass e2e-profiled.)
+    upd = jax.lax.dot_general(e.astype(keys.dtype), vv,
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     acc_ref[...] = acc_ref[...] * alpha[0][:, None] + upd
@@ -279,11 +354,7 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
     @pl.when(bi == n_blocks - 1)
     def _finish():
         linv = (1.0 / l_ref[...])[0][:, None]             # [H*Tp, 1]
-        # normalize BEFORE the Wv projection (linear, so it commutes) and
-        # round to the compute dtype for a clean single-dtype MXU dot
-        av = (acc_ref[...] * linv).astype(wv_ref.dtype)
-        ov = jnp.dot(av, wv_ref[...], preferred_element_type=jnp.float32)
-        o_ref[0] = (ov + bv_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] * linv).astype(o_ref.dtype)
 
 
 def _t2i_pre_kernel(kk_ref, vv_ref, qbd_ref, bias_ref, o_ref, m_ref, l_ref,
@@ -423,7 +494,7 @@ def fused_t2i_attn(keys, pe_k, tok_q, wk, bk, wv, bv, *, num_heads,
         scratch_shapes=[
             pltpu.VMEM((1, h * tp), jnp.float32),
             pltpu.VMEM((1, h * tp), jnp.float32),
-            pltpu.VMEM((h * tp, c), jnp.float32),
+            pltpu.VMEM((h * tp, i), jnp.float32),
         ],
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
