@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from no_time_to_train_tpu.config.presets import EncoderConfig
-from no_time_to_train_tpu.models.sam2.common import LayerNorm
+from no_time_to_train_tpu.models.sam2.common import LayerNorm, _gelu_act
 from no_time_to_train_tpu.ops.attention import sdpa
 from no_time_to_train_tpu.ops.resize import resize
 
@@ -47,7 +47,7 @@ class DinoMLP(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         x = nn.Dense(self.hidden, name="fc1", dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = _gelu_act(x)
         return nn.Dense(c, name="fc2", dtype=self.dtype)(x)
 
 

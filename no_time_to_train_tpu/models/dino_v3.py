@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from no_time_to_train_tpu.config.presets import EncoderConfig
-from no_time_to_train_tpu.models.sam2.common import LayerNorm
+from no_time_to_train_tpu.models.sam2.common import LayerNorm, _gelu_act
 from no_time_to_train_tpu.ops.attention import sdpa
 
 
@@ -91,11 +91,11 @@ class DinoV3Layer(nn.Module):
             gate = nn.Dense(inter, name="mlp_gate", dtype=self.dtype)(h)
             up = nn.Dense(inter, name="mlp_up", dtype=self.dtype)(h)
             h = nn.Dense(c, name="mlp_down", dtype=self.dtype)(
-                nn.gelu(gate, approximate=False) * up)
+                _gelu_act(gate) * up)
         else:
             h = nn.Dense(inter, name="mlp_up", dtype=self.dtype)(h)
             h = nn.Dense(c, name="mlp_down", dtype=self.dtype)(
-                nn.gelu(h, approximate=False))
+                _gelu_act(h))
         ls2 = self.param("layer_scale2", nn.initializers.ones, (c,))
         return x + h * ls2.astype(h.dtype)
 
