@@ -116,24 +116,29 @@ class MultiScaleAttention(nn.Module):
             b, h, w, _ = x.shape
             t = h * w
         qkv = nn.Dense(3 * self.dim_out, name="qkv", dtype=self.dtype)(x)
-        # contiguous lane slices instead of a (3, heads, d) reshape: the 5-d
-        # relayout materialized (profiled ~4ms/step across blocks)
         qkv = qkv.reshape(b, t, 3 * self.dim_out)
         d = self.dim_out
-
-        def heads(tt):
-            return tt.reshape(b, tt.shape[1], self.num_heads, -1)
-
-        q, k, v = (heads(qkv[..., :d]), heads(qkv[..., d:2 * d]),
-                   heads(qkv[..., 2 * d:]))
+        nh = self.num_heads
 
         if self.q_pool:
+            def heads(tt):
+                return tt.reshape(b, tt.shape[1], nh, -1)
+
+            q, k, v = (heads(qkv[..., :d]), heads(qkv[..., d:2 * d]),
+                       heads(qkv[..., 2 * d:]))
             q = _max_pool_2x2(q.reshape(b, h, w, -1))
             h, w = q.shape[1:3]
-            q = q.reshape(b, h * w, self.num_heads, -1)
-
-        out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                   v.transpose(0, 2, 1, 3))
+            q = q.reshape(b, h * w, nh, -1)
+            out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                       v.transpose(0, 2, 1, 3))
+        else:
+            # head_dim (72 at Hiera dims) is not lane-aligned, so ANY
+            # (heads, dh) split is a real relayout; do it ONCE on the packed
+            # [b, t, 3H, dh] tensor and slice q/k/v on the cheap sublane
+            # head axis (the per-tensor slice+reshape+transpose form
+            # profiled ~4.5 ms/step across blocks)
+            qkv = qkv.reshape(b, t, 3 * nh, d // nh).transpose(0, 2, 1, 3)
+            out = sdpa(qkv[:, :nh], qkv[:, nh:2 * nh], qkv[:, 2 * nh:])
         out = out.transpose(0, 2, 1, 3)
         if tokens:
             out = out.reshape(b * out.shape[1], -1)
