@@ -343,3 +343,22 @@ def test_memory_attention():
                   num_obj_ptr_tokens=4)
     np.testing.assert_allclose(np.asarray(got).transpose(1, 0, 2), ref,
                                atol=5e-4, rtol=1e-3)
+
+
+def test_gelu_dispatch_numerics():
+    """ACT["gelu"] must be bit-exact erf-gelu on f32 (the parity oracles'
+    dtype) and within bf16 rounding of exact gelu on the bf16 compute path
+    (where it takes the tanh approximation for TPU VPU speed)."""
+    import jax
+    import jax.numpy as jnp
+    from no_time_to_train_tpu.models.sam2.common import ACT
+
+    x32 = jnp.asarray(np.linspace(-6.0, 6.0, 4097), jnp.float32)
+    exact = jax.nn.gelu(x32, approximate=False)
+    np.testing.assert_array_equal(np.asarray(ACT["gelu"](x32)),
+                                  np.asarray(exact))
+    y16 = ACT["gelu"](x32.astype(jnp.bfloat16)).astype(jnp.float32)
+    # tanh-approx deviation (~3e-3) + bf16 rounding of in/out (<= 2^-8 |x|)
+    bound = 4e-3 + np.abs(np.asarray(x32)) * 2.0 ** -7
+    assert float(jnp.abs(y16 - exact).max()) < 0.5  # sanity
+    np.testing.assert_array_less(np.abs(np.asarray(y16 - exact)), bound)
