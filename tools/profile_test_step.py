@@ -59,6 +59,34 @@ def parse_trace(logdir, top=40):
     print(f"\n-- top {top} by source --")
     for src, dur in by_source.most_common(top):
         print(f"{dur / 1e3:9.2f} ms  {src[:120]}")
+    return by_name, by_source
+
+
+def parse_trace_joint(logdir, top=60, steps=1):
+    """Per-(fusion name, source line) table with per-step durations — the
+    view that pinpoints WHICH op at a shared source line is slow (e.g. the
+    encoder gelu-in-GEMM-prologue find: 40 uniform add_add_fusions at one
+    flax Dense line)."""
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*trace.json.gz")))
+    if not paths:
+        print(f"no trace files under {logdir}", file=sys.stderr)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    cnt = collections.Counter()
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        args = ev.get("args") or {}
+        if "tf_op" not in args and "source" not in args and \
+                "hlo_category" not in args:
+            continue
+        src = args.get("source") or args.get("tf_op") or ""
+        cnt[(ev.get("name", "?"), src)] += ev["dur"]
+    print(f"\n-- top {top} by (name, source), ms/step over {steps} --")
+    for (name, src), dur in cnt.most_common(top):
+        print(f"{dur / 1e3 / steps:8.3f}  {name[:36]:36s} {src[:80]}")
 
 
 def main():
@@ -66,11 +94,15 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--logdir", default="/tmp/nttt_trace")
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--joint", action="store_true",
+                    help="also print the per-(name, source) table")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
 
     if args.parse_only:
         parse_trace(args.logdir, args.top)
+        if args.joint:
+            parse_trace_joint(args.logdir, args.top, args.steps)
         return
 
     from no_time_to_train_tpu.utils.cache import enable_compilation_cache
@@ -106,6 +138,8 @@ def main():
     print(f"fenced {dt * 1e3:.0f} ms/img over {args.steps} steps",
           file=sys.stderr)
     parse_trace(args.logdir, args.top)
+    if args.joint:
+        parse_trace_joint(args.logdir, args.top, args.steps)
 
 
 if __name__ == "__main__":
