@@ -48,11 +48,14 @@ def main():
         else "dense"
     batch = 1
     point_bs = 256
+    depth = 1
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
         if a.startswith("--point-bs="):
             point_bs = int(a.split("=")[1])
+        if a.startswith("--depth="):
+            depth = int(a.split("=")[1])
     matching = MatchingConfig(compute_dtype=compute_dtype,
                               attention_impl=attention_impl,
                               decoder_impl=decoder_impl,
@@ -96,13 +99,17 @@ def main():
     # pipelined throughput: the runner overlaps submit/fetch 2-deep
     # (runner._run_test streams the dataset), so dispatch latency hides
     # behind device compute — this is the deployed images/sec
+    # --depth=N keeps N submissions outstanding: through a remote-TPU
+    # tunnel the per-step dispatch+fetch RTT is only fully hidden with
+    # >= 2 in flight (on a directly-attached chip depth 1 suffices)
     t0 = time.time()
-    pend = submit(imgs[0])
-    for i in range(1, N_ITERS):
+    pend = [submit(imgs[i % len(imgs)]) for i in range(depth)]
+    for i in range(depth, N_ITERS):
         nxt = submit(imgs[i % len(imgs)])
-        np.asarray(pend["scores"])
-        pend = nxt
-    np.asarray(pend["scores"])
+        np.asarray(pend.pop(0)["scores"])
+        pend.append(nxt)
+    for p in pend:
+        np.asarray(p["scores"])
     dt = (time.time() - t0) / N_ITERS / batch
     fps = 1.0 / dt
 
@@ -113,7 +120,7 @@ def main():
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
     }))
     print(f"# init {init_s:.1f}s, first-step (compile) {compile_s:.1f}s, "
-          f"pipelined {1000 * dt:.0f} ms/img, fenced latency "
+          f"pipelined {1000 * dt:.0f} ms/img (depth={depth}), fenced latency "
           f"{1000 * lat:.0f} ms/img, dtype={compute_dtype}, "
           f"attention={attention_impl}, decoder={decoder_impl}, "
           f"batch={batch}, point_bs={point_bs}",
