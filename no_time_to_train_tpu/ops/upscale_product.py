@@ -139,14 +139,18 @@ def default_device_is_cpu():
     return jax.default_backend() == "cpu"
 
 
-def _chain_body(t1, pb, pt, m1, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
+def _chain_body(t1, pb, pt, m1, s1_ref, lnwsegT_ref, lnb4_ref, k2bd_ref,
                 s0_ref, hyp_ref, segln_ref, seglnT_ref, seg16_ref,
                 o_ref, eps):
     """Shared post-t1 chain on an in-VMEM [pb*pt, 4*c1] t1 block.
 
-    The deconv biases are pre-added into the s1/s0 skip operands at trace
-    time (fused_post_t1) — the kernel is VPU-bound, so every elementwise
-    pass over the 768 lanes/row counts."""
+    The kernel is VPU-bound, so every elementwise pass over the 768
+    lanes/row counts; three passes ride shared operands instead:
+    the deconv biases are pre-added into the s1/s0 skips at trace time
+    (fused_post_t1), the LN weight is folded into the inv-broadcast
+    indicator (the MXU dot applies it), and the per-prompt hypernetwork
+    vector multiplies the 16-row phase indicator, not the [pt, 16*c2]
+    activation block."""
     z3 = (t1.reshape(pb, pt, m1).astype(jnp.float32)
           + s1_ref[...].astype(jnp.float32)[None])
     z = z3.reshape(pb * pt, m1)
@@ -156,9 +160,10 @@ def _chain_body(t1, pb, pt, m1, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
     inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
     seglnT = seglnT_ref[...]                     # [8, m1] indicator
     mub = jnp.dot(mu, seglnT, preferred_element_type=jnp.float32)
-    invb = jnp.dot(inv, seglnT, preferred_element_type=jnp.float32)
-    zn = (z - mub) * invb * lnw4_ref[0].astype(jnp.float32) \
-        + lnb4_ref[0].astype(jnp.float32)
+    # [8, m1] indicator pre-scaled by ln_w: broadcasts inv AND applies the
+    # LN weight in the same MXU pass (one fewer full-lane VPU multiply)
+    invw = jnp.dot(inv, lnwsegT_ref[...], preferred_element_type=jnp.float32)
+    zn = (z - mub) * invw + lnb4_ref[0].astype(jnp.float32)
     # dtype is a trace-time constant: bf16 compute takes the cheap
     # hardware-tanh gelu, the f32 (test/CPU) path keeps the exact-rational
     # one so the 3e-5 parity anchors stay exact
@@ -178,46 +183,56 @@ def _chain_body(t1, pb, pt, m1, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
     m2 = t2.shape[-1]
     z2 = (t2.reshape(pb, pt, m2)
           + s0_ref[...].astype(jnp.float32)[None])
-    g = act(z2) * hyp_ref[...][:, None, :]
+    ga = act(z2)
     if o_ref.shape[1] == 16:
         # transposed output [pb, 16, pt]: the product lands the 16 subpixel
         # phases on SUBLANES and positions on full lanes, so the output
-        # stores are lane-full (a [.., pt, 16] layout masks 16/128 lanes)
-        gh = g.astype(seg16_ref.dtype)
+        # stores are lane-full (a [.., pt, 16] layout masks 16/128 lanes).
+        # The prompt's hyper vector folds into the [16, m2] indicator
+        # OPERAND of the phase contraction — 16 rows instead of a full
+        # [pt, m2] elementwise pass (f32-exact: seg entries are 0/1)
+        gh = ga.astype(seg16_ref.dtype)
         segT = seg16_ref[...].T
         for p in range(pb):
-            mk = jax.lax.dot_general(segT, gh[p],
+            segTh = (segT.astype(jnp.float32)
+                     * hyp_ref[p][None]).astype(seg16_ref.dtype)
+            mk = jax.lax.dot_general(segTh, gh[p],
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             o_ref[p] = mk.astype(o_ref.dtype)          # [16, pt]
     else:
+        g = ga * hyp_ref[...][:, None, :]
         mask = jnp.dot(g.reshape(pb * pt, m2).astype(seg16_ref.dtype),
                        seg16_ref[...], preferred_element_type=jnp.float32)
         o_ref[...] = mask.reshape(pb, pt, 16).astype(o_ref.dtype)
 
 
-def _post_t1_kernel(t1_ref, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
+def _post_t1_kernel(t1_ref, s1_ref, lnwsegT_ref, lnb4_ref, k2bd_ref,
                     s0_ref, hyp_ref, segln_ref, seglnT_ref,
                     seg16_ref, o_ref, *, eps):
     """One [pb, pt, 4*c1] block of the post-t1 chain (see module doc)."""
     pb, pt, m1 = t1_ref.shape
     _chain_body(t1_ref[...].reshape(pb * pt, m1), pb, pt, m1, s1_ref,
-                lnw4_ref, lnb4_ref, k2bd_ref, s0_ref, hyp_ref,
+                lnwsegT_ref, lnb4_ref, k2bd_ref, s0_ref, hyp_ref,
                 segln_ref, seglnT_ref, seg16_ref, o_ref, eps)
 
 
-def _from_src_kernel(src_ref, k1_ref, s1_ref, lnw4_ref, lnb4_ref,
+def _from_src_kernel(src_ref, k1_ref, s1_ref, lnwsegT_ref, lnb4_ref,
                      k2bd_ref, s0_ref, hyp_ref, segln_ref,
                      seglnT_ref, seg16_ref, o_ref, *, eps):
     """Like _post_t1_kernel but computes the first-deconv GEMM in-kernel
     (K=d, N=4*c1 — a full-MXU op), so the [B, hw, 4*c1] t1 tensor never
-    reaches HBM: input is the transformer's src_out block [pb, pt, d]."""
+    reaches HBM: input is the transformer's src_out block [pb, pt, d].
+
+    t1 stays f32 out of the MXU (the downstream chain recasts to f32
+    anyway, so the bf16 round-trip was two pure-overhead VPU passes; LN
+    normalization makes the sub-bf16-ulp drift vs the XLA formulation
+    invisible at the 0.1 differential tolerance)."""
     pb, pt, d = src_ref.shape
     m1 = k1_ref.shape[1]
-    # fp32 accumulation + round to the compute dtype == XLA's bf16 dot
     t1 = jnp.dot(src_ref[...].reshape(pb * pt, d), k1_ref[...],
-                 preferred_element_type=jnp.float32).astype(src_ref.dtype)
-    _chain_body(t1, pb, pt, m1, s1_ref, lnw4_ref, lnb4_ref, k2bd_ref,
+                 preferred_element_type=jnp.float32)
+    _chain_body(t1, pb, pt, m1, s1_ref, lnwsegT_ref, lnb4_ref, k2bd_ref,
                 s0_ref, hyp_ref, segln_ref, seglnT_ref, seg16_ref,
                 o_ref, eps)
 
@@ -283,7 +298,7 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
     specs = [
         pl.BlockSpec((pb, pt, m_in), lambda t, p: (p, t, 0)),
         pl.BlockSpec((pt, m1), lambda t, p: (t, 0)),
-        pl.BlockSpec((1, m1), lambda t, p: (0, 0)),
+        pl.BlockSpec((8, m1), lambda t, p: (0, 0)),
         pl.BlockSpec((1, m1), lambda t, p: (0, 0)),
         pl.BlockSpec((c1, 4 * c2), lambda t, p: (0, 0)),
         pl.BlockSpec((pt, 16 * c2), lambda t, p: (t, 0)),
@@ -292,9 +307,11 @@ def fused_post_t1(t1, bias1_4, s1f, ln_w, ln_b, k2mat, bias2, s0f16, hyper,
         pl.BlockSpec((8, m1), lambda t, p: (0, 0)),
         pl.BlockSpec((16 * c2, 16), lambda t, p: (0, 0)),
     ]
+    # ln_w folds into the inv-broadcast indicator so the MXU dot applies
+    # the LN weight for free (see _chain_body)
+    lnwsegT = jnp.asarray(seglnT) * jnp.tile(ln_w, 4)[None].astype(jnp.float32)
     operands = [
-        t1, s1p,
-        jnp.tile(ln_w, 4)[None].astype(jnp.float32),
+        t1, s1p, lnwsegT,
         jnp.tile(ln_b, 4)[None].astype(jnp.float32),
         k2bd, s0p, jnp.tile(hyper, (1, 16)).astype(jnp.float32),
         jnp.asarray(segln), jnp.asarray(seglnT), jnp.asarray(seg16, dt),
