@@ -246,7 +246,8 @@ class Hiera(nn.Module):
         depth = sum(self.stages)
         self.stage_ends = [sum(self.stages[:i]) - 1
                            for i in range(1, len(self.stages) + 1)]
-        q_pool_blocks = [x + 1 for x in self.stage_ends[:-1]][: self.q_pool]
+        self.q_pool_blocks = [x + 1
+                              for x in self.stage_ends[:-1]][: self.q_pool]
 
         self.patch_proj = PatchEmbed7x7(self.embed_dim, name="patch_embed",
                                         dtype=self.dtype)
@@ -272,7 +273,7 @@ class Hiera(nn.Module):
                 cur_stage += 1
             blocks.append(MultiScaleBlock(
                 dim=embed_dim, dim_out=dim_out, num_heads=num_heads,
-                q_stride=(i in q_pool_blocks), window_size=window_size,
+                q_stride=(i in self.q_pool_blocks), window_size=window_size,
                 name=f"blocks_{i}", dtype=self.dtype))
             embed_dim = dim_out
         self.blocks = blocks
@@ -290,7 +291,7 @@ class Hiera(nn.Module):
         x = x + self._pos_embed_for(x.shape[1], x.shape[2])
         outputs = []
         depth = len(self.blocks)
-        q_pool_blocks = [e + 1 for e in self.stage_ends[:-1]][: self.q_pool]
+        q_pool_blocks = self.q_pool_blocks
         i = 0
         while i < depth:
             blk = self.blocks[i]

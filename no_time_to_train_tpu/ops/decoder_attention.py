@@ -230,20 +230,17 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
         return out
 
     grid = (p_, nb)
-    gp = lambda f: f
-    dims = ("parallel", "arbitrary")
-    k_idx = gp((lambda p, b: (0, b, 0)) if pk == 1
-               else (lambda p, b: (p, b, 0)))
+    k_idx = (lambda p, b: (0, b, 0)) if pk == 1 else (lambda p, b: (p, b, 0))
     # per-prompt keys + shared pe: hold the WHOLE [1, n, I] pe resident in
     # VMEM (constant index) and slice rows in-kernel — the (0, b, 0) block
     # stream re-fetched the same pe for every prompt
     pe_whole = (not bcast) and pe_b == 1 and nb > 1
     if pe_whole:
-        pe_spec = pl.BlockSpec((1, n, i), gp(lambda p, b: (0, 0, 0)))
+        pe_spec = pl.BlockSpec((1, n, i), lambda p, b: (0, 0, 0))
     else:
         pe_spec = pl.BlockSpec((1, bq_pos, i),
-                               gp((lambda p, b: (0, b, 0)) if pe_b == 1
-                                  else (lambda p, b: (p, b, 0))))
+                               (lambda p, b: (0, b, 0)) if pe_b == 1
+                               else (lambda p, b: (p, b, 0)))
     out = pl.pallas_call(
         functools.partial(_i2t_kernel, sm_scale=1.0 / (dh ** 0.5), eps=eps,
                           elem_f32=(dt == jnp.float32), pe_whole=pe_whole),
@@ -251,23 +248,23 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
         in_specs=[
             pl.BlockSpec((1, bq_pos, c), k_idx),
             pe_spec,
-            pl.BlockSpec((1, i, h * np_), gp(lambda p, b: (p, 0, 0))),
-            pl.BlockSpec((1, h * np_), gp(lambda p, b: (0, 0))),
-            pl.BlockSpec((1, h * np_, i), gp(lambda p, b: (p, 0, 0))),
-            pl.BlockSpec((c, i), gp(lambda p, b: (0, 0))),
-            pl.BlockSpec((1, i), gp(lambda p, b: (0, 0))),
-            pl.BlockSpec((i, c), gp(lambda p, b: (0, 0))),
-            pl.BlockSpec((1, c), gp(lambda p, b: (0, 0))),
-            pl.BlockSpec((1, c), gp(lambda p, b: (0, 0))),
-            pl.BlockSpec((1, c), gp(lambda p, b: (0, 0))),
-            pl.BlockSpec((h * np_, h), gp(lambda p, b: (0, 0))),
-            pl.BlockSpec((h, h * np_), gp(lambda p, b: (0, 0))),
+            pl.BlockSpec((1, i, h * np_), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((1, h * np_), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, h * np_, i), lambda p, b: (p, 0, 0)),
+            pl.BlockSpec((c, i), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, i), lambda p, b: (0, 0)),
+            pl.BlockSpec((i, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+            pl.BlockSpec((h * np_, h), lambda p, b: (0, 0)),
+            pl.BlockSpec((h, h * np_), lambda p, b: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq_pos, c), gp(lambda p, b: (p, b, 0))),
+        out_specs=pl.BlockSpec((1, bq_pos, c), lambda p, b: (p, b, 0)),
         out_shape=jax.ShapeDtypeStruct((p_, n, c), dt),
         interpret=interpret,
         **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
-            dimension_semantics=dims))),
+            dimension_semantics=("parallel", "arbitrary")))),
     )(keys.astype(dt), pe_q.astype(dt), kbd, pad_bias, vbd,
       wq.astype(dt), bq[None].astype(jnp.float32), wout.astype(dt),
       bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
@@ -308,15 +305,13 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
     """Token->image attention with the k projection in-kernel and online
     softmax over the streamed image blocks.
 
-    Per (prompt, k-block) step: kk = (keys + pe) @ Wk; the per-head logits
-    for ALL (head, token) pairs land in one lane-full GEMM S_T = kk @ Qbd
-    [bk, H*Tp]; running max/sum per (head, token) lane. The value side uses
-    sum_j e_j (keys_j @ Wv + bv) == (e^T @ keys) @ Wv + (sum_j e_j) bv:
-    accumulating A[(h, t), C] = e^T @ keys and projecting through Wv ONCE at
-    the end replaces the per-(prompt, block) keys @ Wv GEMM — 2x the
-    accumulation FLOPs (C vs I lanes) but minus the [bk, C] @ [C, I]
-    projection, net ~0.14 GFLOP saved per prompt at flagship shapes. The h'
-    mismatch blocks are discarded by the caller."""
+    Per (prompt, k-block) step: kk = (keys + pe) @ Wk and vv = keys @ Wv +
+    bv project in-kernel; the per-head logits for ALL (head, token) pairs
+    land in one lane-full GEMM S_T = kk @ Qbd [bk, H*Tp]; running max/sum
+    per (head, token) lane; the weighted values accumulate as e^T @ vv
+    (see the measured-and-rejected note below on the accumulate-then-
+    project alternative). The h' mismatch blocks are discarded by the
+    caller."""
     bi = pl.program_id(1)
 
     @pl.when(bi == 0)

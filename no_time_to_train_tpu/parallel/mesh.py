@@ -102,8 +102,7 @@ def make_data_parallel_fill(matcher, mesh, positive=True):
     jfn = jax.jit(fn)
 
     def run(cat_inds, imgs, masks, n_valid=None):
-        assert imgs.shape[0] == n or (
-            hasattr(imgs, "sharding") and imgs.shape[0] == n), imgs.shape
+        assert imgs.shape[0] == n, imgs.shape
         cats, feats, msks = jfn(
             matcher.dino_params,
             cat_inds if isinstance(cat_inds, jax.Array)

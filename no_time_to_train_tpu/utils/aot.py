@@ -41,7 +41,9 @@ def _source_digest():
         for fn in sorted(files):
             if fn.endswith(".py"):
                 p = os.path.join(root, fn)
-                h.update(p.encode())
+                # package-relative path: the same source checked out at a
+                # different prefix must NOT invalidate the artifact
+                h.update(os.path.relpath(p, pkg).encode())
                 with open(p, "rb") as f:
                     h.update(f.read())
     return h.hexdigest()[:16]
@@ -98,9 +100,10 @@ def load_step(path):
     try:
         with open(path, "rb") as f:
             blob = pickle.load(f)
-        if blob["fingerprint"] != _fingerprint():
+        fp = _fingerprint()   # once: it re-hashes the whole package source
+        if blob["fingerprint"] != fp:
             print(f"[aot] fingerprint mismatch ({blob['fingerprint']} != "
-                  f"{_fingerprint()}); falling back to jit")
+                  f"{fp}); falling back to jit")
             return None
         import jax
         platform = blob["fingerprint"]["platform"]

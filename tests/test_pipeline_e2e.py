@@ -290,21 +290,15 @@ def test_dataset_differential_ap(filled, tmp_path):
                             "area": float(m.sum()), "iscrowd": 0,
                             "segmentation": rle_mod.encode_mask(m)})
             aid += 1
-        for out, dets in ((ref, det_ref),):
+        for out, dets, mask_key in ((ref, det_ref, "masks"),
+                                    (got, det_got, "binary_masks")):
             for k in range(len(out["scores"])):
+                m = out[mask_key][k]
                 dets.append({"image_id": img_id,
                              "category_id": int(out["labels"][k]) + 1,
-                             "bbox": _mask_to_xywh(out["masks"][k]),
+                             "bbox": _mask_to_xywh(m),
                              "score": float(out["scores"][k]),
-                             "segmentation":
-                                 rle_mod.encode_mask(out["masks"][k])})
-        for k in range(len(got["scores"])):
-            det_got.append({"image_id": img_id,
-                            "category_id": int(got["labels"][k]) + 1,
-                            "bbox": _mask_to_xywh(got["binary_masks"][k]),
-                            "score": float(got["scores"][k]),
-                            "segmentation":
-                                rle_mod.encode_mask(got["binary_masks"][k])})
+                             "segmentation": rle_mod.encode_mask(m)})
 
     gt_path = tmp_path / "gt.json"
     gt_path.write_text(json.dumps({
