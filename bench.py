@@ -33,9 +33,33 @@ N_WARMUP = 2
 N_ITERS = 8
 
 
+def _init_backend_bounded(timeout_s=240.0):
+    """First jax backend touch, bounded. Through the axon remote-TPU tunnel,
+    backend discovery dials the relay; when the relay is down that dial hangs
+    forever in every process. Run it in a daemon thread so a dead relay turns
+    into a fast, explicit failure instead of an unbounded hang."""
+    import threading
+    result = {}
+
+    def _init():
+        import jax
+        result["backend"] = jax.default_backend()
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "backend" not in result:
+        print(f"bench.py: jax backend init did not complete within "
+              f"{timeout_s:.0f}s — the axon TPU relay is likely down "
+              f"(see CLAUDE.md); nothing local restarts it", file=sys.stderr)
+        sys.exit(1)
+    return result["backend"]
+
+
 def main():
     from no_time_to_train_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    _init_backend_bounded()
     import jax
 
     from no_time_to_train_tpu.models.matching.pipeline import (

@@ -153,7 +153,7 @@ def sample_sub_dataset(json_path, out_json, n_images, seed=0):
 
 def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
                            confidence_threshold=0.5, class_split=None,
-                           img_ids=None):
+                           img_ids=None, replicate_reference_bug=False):
     """reference coco_inst_to_segm.py: convert instance predictions and GT to
     per-image SEMANTIC LABEL MAPS (one class index per pixel; instances are
     painted sequentially — preds in descending-score order, GTs in annotation
@@ -172,6 +172,10 @@ def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
 
     img_ids optionally restricts the evaluation to a subset of images (the
     reference passes the evaluated query ids in the SAM3 few-shot notebook).
+
+    replicate_reference_bug=True reproduces the oracle's indexing verbatim
+    (0-based full-list enumerate positions, scoring range(N)) for
+    apples-to-apples comparison against published reference mIoU numbers.
     """
     with open(gt_json_path) as f:
         gt = json.load(f)
@@ -182,8 +186,20 @@ def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
     cat_ids = sorted(c["id"] for c in gt["categories"]
                      if c["name"] in cat_names)
     cat_set = set(cat_ids)
-    # index 0 = background, classes mapped to 1..N (reference :18-20)
-    cat_to_idx = {c: i + 1 for i, c in enumerate(cat_ids)}
+    if replicate_reference_bug:
+        # the oracle's mapping verbatim: each class paints its enumerate
+        # POSITION in the FULL gt category list (coco_inst_to_segm.py:27-29)
+        # while evaluate() scores `class_idx in range(N)` (:107) — on splits
+        # whose categories are not the first N entries this scores indices
+        # no paint wrote, and index 0 conflates its class with background
+        cat_to_idx = {c["id"]: pos
+                      for pos, c in enumerate(gt["categories"])
+                      if c["name"] in cat_names}
+        scored = {i: i for i in range(len(cat_to_idx))}
+    else:
+        # index 0 = background, classes mapped to 1..N (reference :18-20)
+        cat_to_idx = {c: i + 1 for i, c in enumerate(cat_ids)}
+        scored = {c: cat_to_idx[c] for c in cat_ids}
     sizes = {im["id"]: (im["height"], im["width"]) for im in gt["images"]}
     if img_ids is not None:
         keep = set(img_ids)
@@ -199,8 +215,8 @@ def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
                 p["score"] >= confidence_threshold:
             pred_by_img[p["image_id"]].append(p)
 
-    inter = {c: 0 for c in cat_ids}
-    union = {c: 0 for c in cat_ids}
+    inter = {k: 0 for k in scored}
+    union = {k: 0 for k in scored}
     from no_time_to_train_tpu.data.coco_api import rasterize_polygons
 
     def _gt_mask(a, h, w):
@@ -220,12 +236,11 @@ def coco_inst_to_segm_eval(gt_json_path, pred_json_path,
                         key=lambda x: x["score"], reverse=True):
             m = rle_mod.decode_rle(p["segmentation"]).astype(bool)
             pm[m] = cat_to_idx[p["category_id"]]
-        for c in cat_ids:
-            i = cat_to_idx[c]
-            inter[c] += int(((gm == i) & (pm == i)).sum())
-            union[c] += int(((gm == i) | (pm == i)).sum())
-    per_class = {c: (inter[c] / union[c] if union[c] else float("nan"))
-                 for c in cat_ids}
+        for k, i in scored.items():
+            inter[k] += int(((gm == i) & (pm == i)).sum())
+            union[k] += int(((gm == i) | (pm == i)).sum())
+    per_class = {k: (inter[k] / union[k] if union[k] else float("nan"))
+                 for k in scored}
     vals = [v for v in per_class.values() if not np.isnan(v)]
     return {"per_class_iou": per_class,
             "miou": float(np.mean(vals)) if vals else float("nan")}

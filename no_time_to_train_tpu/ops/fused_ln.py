@@ -66,6 +66,12 @@ def layer_norm_pallas(x, weight, bias, eps, row_block=4096,
     shape = x.shape
     c = shape[-1]
     r = int(np.prod(shape[:-1]))
+    # ln_fusible guarantees this for the gated call sites; direct callers
+    # must satisfy it too — the rb halving loop below can otherwise reach a
+    # block size violating the TPU sublane-8 constraint and fail to lower
+    assert r % 8 == 0, (
+        f"layer_norm_pallas needs rows % 8 == 0, got {r} (shape {shape}); "
+        "use the XLA _layer_norm formulation for ragged row counts")
     x2 = x.reshape(r, c)
     # the kernel's f32 temporaries cost ~16 bytes/element of scoped vmem
     # (stack limit 16M): cap the block at ~512k elements, rounded down to a

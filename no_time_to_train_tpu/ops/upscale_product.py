@@ -37,6 +37,7 @@ d=256, one v5e):
 Mosaic notes: erf/erfc do not lower — the rational-erf helper below is the
 workaround (abs err <= 1.5e-7, far below bf16 resolution).
 """
+import contextvars
 import functools
 
 import numpy as np
@@ -102,7 +103,10 @@ def _gelu_tanh(x):
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * (x * x * x))))
 
 
-_NO_FUSION_DEPTH = 0
+# contextvars (not a module global): the runner traces from a
+# ThreadPoolExecutor, so a no_fusion() training trace in one thread must not
+# flip dispatch for an inference trace running concurrently in another
+_NO_FUSION_DEPTH = contextvars.ContextVar("nttt_no_fusion_depth", default=0)
 
 
 def no_fusion():
@@ -115,17 +119,16 @@ def no_fusion():
 
     @contextlib.contextmanager
     def _ctx():
-        global _NO_FUSION_DEPTH
-        _NO_FUSION_DEPTH += 1
+        tok = _NO_FUSION_DEPTH.set(_NO_FUSION_DEPTH.get() + 1)
         try:
             yield
         finally:
-            _NO_FUSION_DEPTH -= 1
+            _NO_FUSION_DEPTH.reset(tok)
     return _ctx()
 
 
 def fusion_disabled():
-    return _NO_FUSION_DEPTH > 0
+    return _NO_FUSION_DEPTH.get() > 0
 
 
 def default_device_is_cpu():
@@ -190,7 +193,10 @@ def _chain_body(t1, pb, pt, m1, s1_ref, lnwsegT_ref, lnb4_ref, k2bd_ref,
         # stores are lane-full (a [.., pt, 16] layout masks 16/128 lanes).
         # The prompt's hyper vector folds into the [16, m2] indicator
         # OPERAND of the phase contraction — 16 rows instead of a full
-        # [pt, m2] elementwise pass (f32-exact: seg entries are 0/1)
+        # [pt, m2] elementwise pass. Exact on the f32 path (seg entries
+        # are 0/1); on the bf16 path segTh and gh round separately where
+        # the unfolded form rounded their f32 product once — within the
+        # test tolerances but not bit-identical to the pre-fold kernel.
         gh = ga.astype(seg16_ref.dtype)
         segT = seg16_ref[...].T
         for p in range(pb):

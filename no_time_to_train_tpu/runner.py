@@ -223,12 +223,11 @@ class MatcherRunner:
             # workers) + a two-deep device pipeline: while image i's outputs
             # stream back and finalize on host, image i+1 computes on device.
             import jax
-            if self.devices > 1 and len(jax.devices()) >= self.devices:
-                return self._run_test_data_parallel(ds, export_result,
-                                                    output_name)
             # multi-host (multi-process) data parallelism: padded round-robin
             # shard + shared-filesystem gather, reference Lightning-DDP
-            # semantics (run_lightning.py:23-78, DistributedSampler deal)
+            # semantics (run_lightning.py:23-78, DistributedSampler deal).
+            # Set up BEFORE the intra-process DP dispatch so the two compose
+            # (each process runs its shard over its local device mesh).
             from no_time_to_train_tpu.parallel import multihost
             n_proc, proc_id = multihost.env_world()
             if n_proc > 1 and os.environ.get("NTTT_COORDINATOR"):
@@ -243,6 +242,10 @@ class MatcherRunner:
                 os.path.join(self.save_dir, "multihost_gather"))
             if n_proc > 1:  # drop any stale part BEFORE compute starts
                 multihost.clear_rank_part(gather_dir, proc_id)
+            if self.devices > 1 and len(jax.devices()) >= self.devices:
+                return self._run_test_data_parallel(
+                    ds, stage_cfg, indices, (n_proc, proc_id, gather_dir),
+                    export_result, output_name)
             workers = max(1, int(self.data_load_cfgs.get("workers", 0)) or 1)
             pool = ThreadPoolExecutor(max_workers=workers)
             futures = [pool.submit(ds.__getitem__, j) for j in indices[:2]]
@@ -399,11 +402,14 @@ class MatcherRunner:
         self.triplets_queue.append(np.stack([sims, pred_ious, oracle],
                                             axis=1))
 
-    def _write_metrics_csv(self, stats, times_np, path=None):
+    def _write_metrics_csv(self, stats, times_np, path=None, n_images=None):
         """CSV metrics record (replaces the reference's Lightning CSVLogger,
-        new_exps/*.yaml:59-63)."""
+        new_exps/*.yaml:59-63). times_np entries are per image on the
+        single-device loop and per DEVICE-BATCH (already divided by the
+        device count) on the DP loop — n_images overrides the image count
+        there."""
         import csv
-        row = {"images": len(times_np),
+        row = {"images": n_images if n_images is not None else len(times_np),
                "mean_time_s": float(np.mean(times_np)),
                "fps": float(1.0 / np.mean(times_np))}
         if stats:
@@ -438,31 +444,47 @@ class MatcherRunner:
                     labels=np.asarray(out["labels"]),
                     pred_ious=np.asarray(out["pred_ious"]), valid=valid)
 
-    def _run_test_data_parallel(self, ds, export_result, output_name):
+    def _run_test_data_parallel(self, ds, stage_cfg, indices, world,
+                                export_result, output_name):
         """Shard the image stream over a `data` mesh (reference Lightning-DDP
         equivalent, SURVEY §2.5): per-device single-image steps via shard_map,
         interleaved merge reproducing the reference rank order. Host loading
         is thread-prefetched and the device pipeline is two deep — batch i's
         valid-prefix D2H + RLE encode overlap batch i+1's compute — matching
-        the single-device loop's structure."""
+        the single-device loop's structure, with the full feature set of that
+        loop: scalars/triplets queues, online_vis, metrics CSV, and the
+        multi-process filesystem gather (each process runs ITS padded
+        round-robin shard `indices` over its local device mesh; rank 0
+        interleave-merges exactly like run_lightning.py:23-78)."""
         import jax
         from concurrent.futures import ThreadPoolExecutor
         from no_time_to_train_tpu.parallel.mesh import (
             make_mesh, make_data_parallel_test, interleave_results)
+        from no_time_to_train_tpu.parallel import multihost
+        n_proc, proc_id, gather_dir = world
         n = self.devices
         mesh = make_mesh(jax.devices()[:n])
         run = make_data_parallel_test(self.matcher, mesh)
         per_rank = [[] for _ in range(n)]
-        starts = list(range(0, len(ds), n))
+        batches = [indices[i:i + n] for i in range(0, len(indices), n)]
 
-        def load(start):
-            return [ds[min(start + j, len(ds) - 1)] for j in range(n)]  # pad
+        def load(batch):
+            items = [ds[j] for j in batch]
+            while len(items) < n:        # pad the tail batch; the device-
+                items.append(items[-1])  # level interleave truncates it
+            return items
 
         workers = max(1, int(self.data_load_cfgs.get("workers", 0)) or 1)
         pool = ThreadPoolExecutor(max_workers=workers)
-        futures = [pool.submit(load, s) for s in starts[:2]]
+        futures = [pool.submit(load, b) for b in batches[:2]]
 
-        def finalize(items, out, dt):
+        vis_dir = None
+        if self.online_vis:
+            vis_dir = os.path.join("./results_analysis",
+                                   stage_cfg.get("name", "coco"))
+            os.makedirs(vis_dir, exist_ok=True)
+
+        def finalize(items, n_valid, out, dt):
             self.time_queue.append(dt / n)
             raw_all = self._fetch_dp(out)
             for j, item in enumerate(items):
@@ -474,32 +496,77 @@ class MatcherRunner:
                                labels=fin["labels"], boxes=fin["bboxes"],
                                masks=fin["binary_masks"])
                 per_rank[j].append(ds.encode_results([per_img]))
+                if j >= n_valid:
+                    continue  # pad duplicate: keep merge alignment, but
+                              # don't double-count analysis rows / vis
+                self._queue_scalars(item, raw, fin)
+                if vis_dir is not None:
+                    from no_time_to_train_tpu.data.visualization import (
+                        vis_results_online)
+                    vout = dict(scores=fin["scores"], labels=fin["labels"],
+                                bboxes=fin["bboxes"],
+                                binary_masks=fin["binary_masks"])
+                    vis_results_online(
+                        vout, item.get("tar_anns_by_cat"),
+                        (info["ori_height"], info["ori_width"]),
+                        os.path.join(ds.root, info["file_name"]), vis_dir,
+                        score_thr=self.vis_thr,
+                        dataset_name=stage_cfg.get("name"),
+                        class_names=ds.cat_names)
 
         pending = None
-        for bi, start in enumerate(starts):
+        for bi, batch in enumerate(batches):
             items = futures.pop(0).result()
-            if bi + 2 < len(starts):
-                futures.append(pool.submit(load, starts[bi + 2]))
+            if bi + 2 < len(batches):
+                futures.append(pool.submit(load, batches[bi + 2]))
             t0 = time.time()
             out = run(np.stack([it["target_img"] for it in items]))
             if pending is not None:
                 finalize(*pending)  # D2H + host work overlap this compute
             np.asarray(out["scores"])  # completion fence (tiny [n, K] fetch)
             dt = time.time() - t0
-            pending = (items, out, dt)
+            pending = (items, len(batch), out, dt)
         if pending is not None:
             finalize(*pending)
         pool.shutdown()
-        merged = interleave_results(per_rank, len(ds))
-        results_unpacked = [r for enc in merged for r in enc]
+        # within-process interleave: device j saw indices[j::n], so zipping
+        # the device lists restores this process's shard order
+        merged = interleave_results(per_rank, len(indices))
 
         times_np = np.array(self.time_queue)
         print("\n[Validation] Inference Time Benchmark:")
-        print(f"  Total images: {len(ds)}")
+        print(f"  Total images: {len(indices)}")
         print(f"  Total time: {np.sum(times_np) * self.devices:.4f} s")
         print(f"  Average time per image: {np.mean(times_np):.4f} s")
         print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
+
+        if self.scalars_queue:
+            os.makedirs(self.save_dir, exist_ok=True)
+            with open(os.path.join(self.save_dir,
+                                   "scalars_all.pkl"), "wb") as f:
+                pickle.dump(self.scalars_queue, f)
+        if self.triplets_queue:
+            os.makedirs(self.save_dir, exist_ok=True)
+            with open(os.path.join(self.save_dir,
+                                   "triplets_all.pkl"), "wb") as f:
+                pickle.dump(self.triplets_queue, f)
+
+        results_unpacked = []
+        if n_proc > 1:
+            # per-rank publish + rank-0 interleaved merge (reference
+            # collect_results_cpu, run_lightning.py:23-78); the process-level
+            # pad duplicates truncate out at len(ds)
+            multihost.save_rank_results(gather_dir, proc_id, merged)
+            if proc_id != 0:
+                return None
+            for r in multihost.collect_results(gather_dir, n_proc, len(ds)):
+                results_unpacked.extend(r)
+        else:
+            for r in merged:
+                results_unpacked.extend(r)
         if export_result:
             with open(export_result, "w") as f:
                 json.dump(results_unpacked, f)
-        return ds.evaluate(results_unpacked, output_name=output_name)
+        stats = ds.evaluate(results_unpacked, output_name=output_name)
+        self._write_metrics_csv(stats, times_np, n_images=len(indices))
+        return stats

@@ -9,7 +9,8 @@ to the exact jaxlib/libtpu version and device topology, so `load` verifies
 a fingerprint and callers fall back to normal jit on mismatch.
 
 Replaces the reference's nothing (torch eager has no compile step); the
-driver-facing surface is `__graft_entry__.entry()` + `bench.py --aot`.
+user-facing surface is `tools/aot_flagship.py` (export + timed reload), and
+`__graft_entry__.entry()` benefits through the persistent-cache fallback.
 """
 import os
 import pickle

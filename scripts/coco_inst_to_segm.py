@@ -18,13 +18,19 @@ def main(argv=None):
     p.add_argument("--gt_json", type=str,
                    default="inst_to_segm/original/instances_val2017.json")
     p.add_argument("--confidence_threshold", type=float, default=0.5)
+    p.add_argument("--replicate_reference_bug", action="store_true",
+                   help="score the oracle's class indexing verbatim (0-based "
+                        "full-list positions over range(N)) for "
+                        "apples-to-apples comparison with published mIoU")
     a = p.parse_args(argv)
 
     print(f"\nEvaluating \033[31m{a.pred_json}\033[0m with class split "
           f"\033[31m{a.class_split}\033[0m")
     out = coco_inst_to_segm_eval(a.gt_json, a.pred_json,
                                  confidence_threshold=a.confidence_threshold,
-                                 class_split=a.class_split)
+                                 class_split=a.class_split,
+                                 replicate_reference_bug=
+                                 a.replicate_reference_bug)
     print(f"Mean IoU: {out['miou']:.4f}")
     return out
 

@@ -89,6 +89,56 @@ def test_inst_to_segm_eval_skips_crowd_gt(tmp_path):
     assert abs(out["miou"] - 0.5) < 1e-9
 
 
+def test_inst_to_segm_eval_replicate_reference_bug(tmp_path):
+    """replicate_reference_bug=True scores the oracle's indexing verbatim
+    (0-based full-list enumerate positions over range(N),
+    coco_inst_to_segm.py:27-29,:107). With 2 full categories and a split of
+    only the SECOND one, the split class paints index 1 but the oracle
+    scores indices {0, 1}: index 0 is background-vs-background (union 0,
+    skipped) and index 1 is the real class — so a perfect prediction still
+    scores 1.0 here, while a split of the FIRST category paints index 0,
+    conflating it with background (IoU < 1 on any image with background)."""
+    p, data = _toy_coco(tmp_path, n_imgs=1, per_img=1)
+    data["categories"] = [{"id": 1, "name": "person"},
+                          {"id": 2, "name": "dog"}]
+    seg = data["annotations"][0]["segmentation"]
+    p2 = tmp_path / "gt2.json"
+    p2.write_text(json.dumps(data))
+    preds = [{"image_id": 1, "category_id": 1, "score": 0.9,
+              "segmentation": seg}]
+    pp = tmp_path / "pred.json"
+    pp.write_text(json.dumps(preds))
+
+    from no_time_to_train_tpu.data import metainfo
+    metainfo.METAINFO["_bugtest_split"] = ["person"]
+    try:
+        fixed = converters.coco_inst_to_segm_eval(
+            str(p2), str(pp), class_split="_bugtest_split")
+        assert abs(fixed["miou"] - 1.0) < 1e-9
+        # bug mode, perfect pred: "person" is position 0 in the full list ->
+        # painted as 0 and conflated with background, but both maps paint
+        # identically so index 0 still matches exactly
+        buggy = converters.coco_inst_to_segm_eval(
+            str(p2), str(pp), class_split="_bugtest_split",
+            replicate_reference_bug=True)
+        assert abs(buggy["miou"] - 1.0) < 1e-9
+        # EMPTY prediction set exposes the conflation: the fixed scorer gives
+        # IoU 0 for the missed class; in bug mode painting index 0 is a NO-OP
+        # on the zero-initialized maps, so gt and pred maps are both all-zero
+        # and the completely-missed class scores a perfect 1.0
+        pe = tmp_path / "pred_empty.json"
+        pe.write_text(json.dumps([]))
+        fixed0 = converters.coco_inst_to_segm_eval(
+            str(p2), str(pe), class_split="_bugtest_split")
+        assert abs(fixed0["miou"] - 0.0) < 1e-9
+        buggy0 = converters.coco_inst_to_segm_eval(
+            str(p2), str(pe), class_split="_bugtest_split",
+            replicate_reference_bug=True)
+        assert abs(buggy0["miou"] - 1.0) < 1e-9
+    finally:
+        del metainfo.METAINFO["_bugtest_split"]
+
+
 def test_pascal_voc_to_coco(tmp_path):
     (tmp_path / "Annotations").mkdir()
     xml = """<annotation><filename>im0.jpg</filename>

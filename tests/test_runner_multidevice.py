@@ -124,3 +124,35 @@ def test_cli_multidevice_test(tmp_path, rng, capsys):
     got = json.loads((tmp_path / "res.json").read_text())
     expect = json.loads((tmp_path / "res1.json").read_text())
     assert got == expect
+
+    # full feature parity of the DP loop (VERDICT r3 #4): the analysis-layer
+    # scalars/triplets pkls and the metrics CSV must come out of the DP run
+    # too, with identical content (image order restored by the interleave;
+    # timing columns are run-dependent so only the AP columns must match)
+    import csv
+    import pickle
+    sd1, sd4 = tmp_path / "sd1", tmp_path / "sd4"
+    for sd, ndev in ((sd1, "1"), (sd4, "4")):
+        run_lightning.main(["test", "--config", str(cfg_path),
+                            "--model.test_mode", "test", "--ckpt_path", post,
+                            "--trainer.devices", ndev,
+                            "--trainer.logger.save_dir", str(sd)])
+    capsys.readouterr()
+    for name in ("scalars_all.pkl", "triplets_all.pkl"):
+        with open(sd1 / name, "rb") as f:
+            rows1 = pickle.load(f)
+        with open(sd4 / name, "rb") as f:
+            rows4 = pickle.load(f)
+        assert len(rows1) == len(rows4) == 5
+        for a, b in zip(rows1, rows4):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3,
+                                       err_msg=name)
+    with open(sd1 / "metrics_log.csv") as f:
+        r1 = list(csv.DictReader(f))
+    with open(sd4 / "metrics_log.csv") as f:
+        r4 = list(csv.DictReader(f))
+    assert len(r1) == len(r4) == 1
+    ap_cols = [k for k in r1[0] if "_AP" in k]
+    assert ap_cols and r1[0]["images"] == r4[0]["images"] == "5"
+    for k in ap_cols:
+        assert abs(float(r1[0][k]) - float(r4[0][k])) < 1e-6, k
