@@ -25,7 +25,7 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale, n_valid):
     q = q_ref[0].astype(jnp.float32) * sm_scale  # [block_q, d]
     n_k = k_ref.shape[1]
     block_q, d = q.shape
@@ -35,6 +35,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale):
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if n_valid % block_k:
+            # key axis padded to the block multiple: mask the padded columns
+            # out of the softmax (n_valid is a trace-time constant; padded
+            # QUERY rows need no handling — they see all-valid keys and are
+            # sliced off by the caller)
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col < n_valid, s, -jnp.inf)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new[:, None])
@@ -52,15 +60,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale):
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_bh(q, k, v, block_q, block_k):
-    """q,k,v: [BH, N, D] with N divisible by the blocks."""
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "n_valid"))
+def _flash_bh(q, k, v, block_q, block_k, n_valid):
+    """q,k,v: [BH, N, D] with N divisible by the blocks; n_valid <= N_k is the
+    unpadded key count (keys beyond it are masked from the softmax)."""
     bh, n_q, d = q.shape
     n_k = k.shape[1]
     sm_scale = 1.0 / (d ** 0.5)
     grid = (bh, n_q // block_q)
     kernel = functools.partial(_flash_kernel, block_k=block_k,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale, n_valid=n_valid)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -83,25 +92,36 @@ def flash_sdpa(q, k, v, mask=None, block_q=DEFAULT_BLOCK_Q,
     n_k = k.shape[-2]
     usable = (_HAS_TPU_PALLAS and mask is None
               and jax.default_backend() == "tpu"
-              and n_q % block_q == 0 and n_k % block_k == 0
-              and n_q >= block_q)
+              and n_q >= block_q and n_k >= block_k)
     if not usable:
         return _xla_sdpa(q, k, v, mask)
+    # Ragged sequences tile via padding: queries pad to the q-block multiple
+    # on a 128-sublane grain (padded rows compute garbage against the valid
+    # keys — no NaN, all sliced off); keys/values pad to the k-block multiple
+    # and the kernel masks the padded columns out of the softmax. This is
+    # what lets DINO's 1370-token attention (24 layers x [16, 1370, 1370]
+    # f32 logits under XLA, the encoder's HBM hot spot) run flash.
+    bq = block_q if n_q % block_q == 0 else min(block_q, 128)
+    bk = block_k if n_k % block_k == 0 else min(block_k, 128)
+    q_pad = (-n_q) % bq
+    k_pad = (-n_k) % bk
     # lane-pad head dim to 128 (Hiera uses 72, DINO 64): zero-padded K lanes
     # leave logits unchanged; zero-padded V lanes give zero outputs, sliced off.
     d_pad = (-d) % 128
-    scale_fix = 1.0
     if d_pad:
         # kernel scales by 1/sqrt(d_padded); pre-scale q to compensate
         scale_fix = ((d + d_pad) ** 0.5) / (d ** 0.5)
-        pad = [(0, 0)] * (q.ndim - 1) + [(0, d_pad)]
-        q = jnp.pad(q * jnp.asarray(scale_fix, q.dtype), pad)
+        q = q * jnp.asarray(scale_fix, q.dtype)
+    if d_pad or q_pad:
+        q = jnp.pad(q, [(0, 0)] * (q.ndim - 2) + [(0, q_pad), (0, d_pad)])
+    if d_pad or k_pad:
+        pad = [(0, 0)] * (k.ndim - 2) + [(0, k_pad), (0, d_pad)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
     lead = q.shape[:-2]
     qf = q.reshape((-1,) + q.shape[-2:])
     kf = k.reshape((-1,) + k.shape[-2:])
     vf = v.reshape((-1,) + v.shape[-2:])
-    out = _flash_bh(qf, kf, vf, block_q, block_k)
-    out = out.reshape(lead + (n_q, d + d_pad))
-    return out[..., :d] if d_pad else out
+    out = _flash_bh(qf, kf, vf, bq, bk, n_k)
+    out = out.reshape(lead + (n_q + q_pad, d + d_pad))
+    return out[..., :n_q, :d] if (d_pad or q_pad) else out

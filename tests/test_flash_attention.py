@@ -19,7 +19,7 @@ def test_flash_kernel_interpret(rng):
     block_q = block_k = 256
     sm_scale = 1.0 / (d ** 0.5)
     kernel = functools.partial(fa._flash_kernel, block_k=block_k,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale, n_valid=n)
     out = pl.pallas_call(
         kernel,
         grid=(bh, n // block_q),
@@ -60,24 +60,56 @@ def test_flash_padded_head_dim_interpret(rng, monkeypatch):
                                rtol=1e-4)
 
 
-def _interp_flash_bh(q, k, v, block_q, block_k):
+def _interp_flash_bh(q, k, v, block_q, block_k, n_valid=None):
     import functools
     from jax.experimental import pallas as pl
     bh, n, d = q.shape
+    n_k = k.shape[1]
     sm_scale = 1.0 / (d ** 0.5)
     kernel = functools.partial(fa._flash_kernel, block_k=block_k,
-                               sm_scale=sm_scale)
+                               sm_scale=sm_scale,
+                               n_valid=n_k if n_valid is None else n_valid)
     return pl.pallas_call(
         kernel, grid=(bh, n // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=True,
     )(q, k, v)
+
+
+@pytest.mark.skipif(not fa._HAS_TPU_PALLAS, reason="no pallas tpu")
+def test_flash_ragged_seq_interpret(rng, monkeypatch):
+    """DINO-shaped ragged sequence (N=1370, d=64): queries pad to the q-block
+    grain and padded key columns are masked out of the softmax in-kernel."""
+    monkeypatch.setattr(fa, "_flash_bh", _interp_flash_bh)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    q = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)), jnp.float32)
+    out = fa.flash_sdpa(q, k, v)
+    ref = _xla_sdpa(q, k, v)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)
+
+
+@pytest.mark.skipif(not fa._HAS_TPU_PALLAS, reason="no pallas tpu")
+def test_flash_ragged_kv_only_interpret(rng, monkeypatch):
+    """Cross-attention shape: divisible queries against ragged keys."""
+    monkeypatch.setattr(fa, "_flash_bh", _interp_flash_bh)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    q = jnp.asarray(rng.standard_normal((1, 2, 512, 64)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 700, 64)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 700, 64)), jnp.float32)
+    out = fa.flash_sdpa(q, k, v)
+    ref = _xla_sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)
 
 
 def test_default_impl_routing(monkeypatch, rng):
@@ -132,6 +164,24 @@ def test_flash_sdpa_tpu_parity(rng):
     v = jax.device_put(jnp.asarray(
         rng.standard_normal((1, 4, 2048, 64)) * 0.3, jnp.bfloat16), dev)
     # computation follows the committed device of the args
+    out = np.asarray(jax.jit(fa.flash_sdpa)(q, k, v), np.float32)
+    ref = np.asarray(jax.jit(_xla_sdpa)(q, k, v), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_flash_sdpa_ragged_tpu_parity(rng):
+    """Compiled ragged-sequence kernel (DINO's exact [16, 1370, 64] shape)
+    vs XLA on the real TPU."""
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU device available")
+    dev = tpus[0]
+    q = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 16, 1370, 64)) * 0.3, jnp.bfloat16), dev)
+    k = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 16, 1370, 64)) * 0.3, jnp.bfloat16), dev)
+    v = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 16, 1370, 64)) * 0.3, jnp.bfloat16), dev)
     out = np.asarray(jax.jit(fa.flash_sdpa)(q, k, v), np.float32)
     ref = np.asarray(jax.jit(_xla_sdpa)(q, k, v), np.float32)
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
