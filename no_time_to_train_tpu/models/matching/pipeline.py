@@ -196,6 +196,15 @@ class NoAMGMatcher:
         # the bf16 rate (profiled: 82 vs 205 TF/s) and double weight HBM.
         def _to_device(tree):
             def leaf(a):
+                if isinstance(a, np.ndarray):
+                    # cast on host (ml_dtypes round-to-nearest-even, same
+                    # rounding as the XLA convert): halves the upload bytes
+                    # through the remote-TPU tunnel and avoids one device
+                    # dispatch per leaf
+                    if dtype != jnp.float32 and jnp.issubdtype(a.dtype,
+                                                               jnp.floating):
+                        a = a.astype(np.dtype(dtype))
+                    return a
                 a = jnp.asarray(a)
                 if dtype != jnp.float32 and jnp.issubdtype(a.dtype,
                                                            jnp.floating):

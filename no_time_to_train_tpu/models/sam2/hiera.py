@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from no_time_to_train_tpu.models.sam2.common import MLP, LayerNorm
-from no_time_to_train_tpu.ops.attention import sdpa
+from no_time_to_train_tpu.ops.attention import sdpa, sdpa_bnhd
 from no_time_to_train_tpu.ops.resize import resize
 
 
@@ -129,23 +129,25 @@ class MultiScaleAttention(nn.Module):
             q = _max_pool_2x2(q.reshape(b, h, w, -1))
             h, w = q.shape[1:3]
             q = q.reshape(b, h * w, nh, -1)
-            out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                       v.transpose(0, 2, 1, 3))
+            # q-pool blocks only run on the spatial path (the token-major
+            # stage flow excludes them); result is already [b, h*w, nh, dh]
+            out = sdpa_bnhd(q, k, v).reshape(b, h, w, -1)
+            return nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
         else:
             # head_dim (72 at Hiera dims) is not lane-aligned, so ANY
-            # (heads, dh) split is a real relayout; do it ONCE on the packed
-            # [b, t, 3H, dh] tensor and slice q/k/v on the cheap sublane
-            # head axis (the per-tensor slice+reshape+transpose form
-            # profiled ~4.5 ms/step across blocks)
-            qkv = qkv.reshape(b, t, 3 * nh, d // nh).transpose(0, 2, 1, 3)
-            out = sdpa(qkv[:, :nh], qkv[:, nh:2 * nh], qkv[:, 2 * nh:])
-        out = out.transpose(0, 2, 1, 3)
-        if tokens:
-            out = out.reshape(b * out.shape[1], -1)
-            y = nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
-            return y.reshape(b, t, self.dim_out)
-        out = out.reshape(b, h, w, -1)
-        return nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
+            # (heads, dh) split into sdpa's [B, H, N, D] layout is a real
+            # relayout copy (profiled 2.9 ms/step even in the packed
+            # do-it-once form). sdpa_bnhd keeps q/k/v AND the result in the
+            # [b, t, heads, dh] layout the qkv GEMM produces — the
+            # head-batched contractions fold into the attention GEMMs.
+            qkv = qkv.reshape(b, t, 3, nh, d // nh)
+            out = sdpa_bnhd(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+            if tokens:
+                out = out.reshape(b * t, -1)
+                y = nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
+                return y.reshape(b, t, self.dim_out)
+            out = out.reshape(b, h, w, -1)
+            return nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
 
 
 class MultiScaleBlock(nn.Module):

@@ -185,3 +185,37 @@ def test_flash_sdpa_ragged_tpu_parity(rng):
     out = np.asarray(jax.jit(fa.flash_sdpa)(q, k, v), np.float32)
     ref = np.asarray(jax.jit(_xla_sdpa)(q, k, v), np.float32)
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_sdpa_bnhd_matches_sdpa(rng):
+    """sdpa_bnhd keeps [B, N, H, D] layout end-to-end; same math as sdpa on
+    the transposed operands (Hiera's dh=72 head split, both branch shapes)."""
+    from no_time_to_train_tpu.ops.attention import sdpa, sdpa_bnhd
+    for b, n, h, d in [(3, 49, 2, 72), (1, 196, 4, 72), (2, 64, 1, 96)]:
+        q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+        out = sdpa_bnhd(q, k, v, impl="xla")
+        ref = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                   v.transpose(0, 2, 1, 3), impl="xla").transpose(0, 2, 1, 3)
+        assert out.shape == (b, n, h, d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_sdpa_bnhd_pallas_routing(rng, monkeypatch):
+    """Under impl='pallas' the BNHD entry transposes into the flash path and
+    back, preserving the attention_impl flag's meaning."""
+    from no_time_to_train_tpu.ops import attention as att
+    calls = {}
+    real = att.sdpa
+
+    def spy(q, k, v, mask=None, impl=None):
+        calls["shape"] = q.shape
+        return real(q, k, v, mask=mask, impl="xla")
+
+    monkeypatch.setattr(att, "sdpa", spy)
+    q = jnp.asarray(rng.standard_normal((1, 600, 2, 64)), jnp.float32)
+    out = att.sdpa_bnhd(q, q, q, impl="pallas")
+    assert calls["shape"] == (1, 2, 600, 64)  # transposed into sdpa's layout
+    assert out.shape == (1, 600, 2, 64)
