@@ -73,6 +73,7 @@ def main():
     batch = 1
     point_bs = 256
     depth = 1
+    quant = "none"
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
@@ -80,10 +81,13 @@ def main():
             point_bs = int(a.split("=")[1])
         if a.startswith("--depth="):
             depth = int(a.split("=")[1])
+        if a.startswith("--quant="):
+            quant = a.split("=")[1]  # "int8": W8A8 encoder GEMMs (opt-in)
     matching = MatchingConfig(compute_dtype=compute_dtype,
                               attention_impl=attention_impl,
                               decoder_impl=decoder_impl,
-                              testing_point_bs=point_bs)
+                              testing_point_bs=point_bs,
+                              encoder_quant=quant)
     t0 = time.time()
     matcher = NoAMGMatcher("sam2_hiera_l.yaml", "dinov2_large", matching,
                            n_classes=20, memory_length=10)
@@ -147,7 +151,7 @@ def main():
           f"pipelined {1000 * dt:.0f} ms/img (depth={depth}), fenced latency "
           f"{1000 * lat:.0f} ms/img, dtype={compute_dtype}, "
           f"attention={attention_impl}, decoder={decoder_impl}, "
-          f"batch={batch}, point_bs={point_bs}",
+          f"batch={batch}, point_bs={point_bs}, quant={quant}",
           file=sys.stderr)
 
 

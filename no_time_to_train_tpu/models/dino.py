@@ -17,52 +17,59 @@ import flax.linen as nn
 from no_time_to_train_tpu.config.presets import EncoderConfig
 from no_time_to_train_tpu.models.sam2.common import LayerNorm, _gelu_act
 from no_time_to_train_tpu.ops.attention import sdpa
+from no_time_to_train_tpu.ops.quant import dense_cls
 from no_time_to_train_tpu.ops.resize import resize
 
 
 class DinoAttention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
-        q = nn.Dense(c, name="query", dtype=self.dtype)(x)
-        k = nn.Dense(c, name="key", dtype=self.dtype)(x)
-        v = nn.Dense(c, name="value", dtype=self.dtype)(x)
+        D = dense_cls(self.quant)
+        q = D(c, name="query", dtype=self.dtype)(x)
+        k = D(c, name="key", dtype=self.dtype)(x)
+        v = D(c, name="value", dtype=self.dtype)(x)
 
         def split(t):
             return t.reshape(b, n, self.num_heads, -1).transpose(0, 2, 1, 3)
 
         out = sdpa(split(q), split(k), split(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(c, name="output", dtype=self.dtype)(out)
+        return dense_cls(self.quant)(c, name="output", dtype=self.dtype)(out)
 
 
 class DinoMLP(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        x = nn.Dense(self.hidden, name="fc1", dtype=self.dtype)(x)
+        D = dense_cls(self.quant)
+        x = D(self.hidden, name="fc1", dtype=self.dtype)(x)
         x = _gelu_act(x)
-        return nn.Dense(c, name="fc2", dtype=self.dtype)(x)
+        return D(c, name="fc2", dtype=self.dtype)(x)
 
 
 class DinoSwiGLU(nn.Module):
     """HF Dinov2SwiGLUFFN (giant): hidden = 4*c, 2/3, round to multiple of 8."""
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         hidden = (int(c * 4 * 2 / 3) + 7) // 8 * 8
-        wi = nn.Dense(2 * hidden, name="weights_in", dtype=self.dtype)(x)
+        D = dense_cls(self.quant)
+        wi = D(2 * hidden, name="weights_in", dtype=self.dtype)(x)
         x1, x2 = wi[..., :hidden], wi[..., hidden:]
         h = nn.silu(x1) * x2
-        return nn.Dense(c, name="weights_out", dtype=self.dtype)(h)
+        return D(c, name="weights_out", dtype=self.dtype)(h)
 
 
 class DinoLayer(nn.Module):
@@ -71,21 +78,25 @@ class DinoLayer(nn.Module):
     use_layer_scale: bool = True
     ffn_layer: str = "mlp"
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         h = LayerNorm(eps=1e-6, name="norm1", dtype=self.dtype)(x)
-        h = DinoAttention(self.num_heads, name="attention", dtype=self.dtype)(h)
+        h = DinoAttention(self.num_heads, name="attention", dtype=self.dtype,
+                          quant=self.quant)(h)
         if self.use_layer_scale:
             ls1 = self.param("layer_scale1", nn.initializers.ones, (c,))
             h = h * ls1.astype(h.dtype)
         x = x + h
         h = LayerNorm(eps=1e-6, name="norm2", dtype=self.dtype)(x)
         if self.ffn_layer == "swiglu":
-            h = DinoSwiGLU(name="mlp", dtype=self.dtype)(h)
+            h = DinoSwiGLU(name="mlp", dtype=self.dtype,
+                           quant=self.quant)(h)
         else:
-            h = DinoMLP(self.mlp_ratio * c, name="mlp", dtype=self.dtype)(h)
+            h = DinoMLP(self.mlp_ratio * c, name="mlp", dtype=self.dtype,
+                        quant=self.quant)(h)
         if self.use_layer_scale:
             ls2 = self.param("layer_scale2", nn.initializers.ones, (c,))
             h = h * ls2.astype(h.dtype)
@@ -95,6 +106,7 @@ class DinoLayer(nn.Module):
 class DinoV2(nn.Module):
     cfg: EncoderConfig
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"   # "int8": W8A8 encoder GEMMs (ops/quant.py)
 
     @nn.compact
     def __call__(self, imgs, drop_prefix_tokens: bool = True):
@@ -131,7 +143,7 @@ class DinoV2(nn.Module):
             x = DinoLayer(c.num_heads,
                           use_layer_scale=(c.init_values is not None),
                           ffn_layer=c.ffn_layer, name=f"layer_{i}",
-                          dtype=self.dtype)(x)
+                          dtype=self.dtype, quant=self.quant)(x)
         x = LayerNorm(eps=1e-6, name="layernorm", dtype=self.dtype)(x)
         if drop_prefix_tokens:
             x = x[:, 1 + c.num_register_tokens:, :]

@@ -15,6 +15,7 @@ import flax.linen as nn
 from no_time_to_train_tpu.config.presets import EncoderConfig
 from no_time_to_train_tpu.models.sam2.common import LayerNorm, _gelu_act
 from no_time_to_train_tpu.ops.attention import sdpa
+from no_time_to_train_tpu.ops.quant import dense_cls
 
 
 @lru_cache(maxsize=None)
@@ -41,14 +42,16 @@ class DinoV3Attention(nn.Module):
     n_prefix: int
     rope_theta: float = 100.0
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, grid_hw):
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        q = nn.Dense(c, name="q_proj", dtype=self.dtype)(x)
-        k = nn.Dense(c, name="k_proj", dtype=self.dtype)(x)
-        v = nn.Dense(c, name="v_proj", dtype=self.dtype)(x)
+        D = dense_cls(self.quant)
+        q = D(c, name="q_proj", dtype=self.dtype)(x)
+        k = D(c, name="k_proj", dtype=self.dtype)(x)
+        v = D(c, name="v_proj", dtype=self.dtype)(x)
 
         def split(t):
             return t.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -66,7 +69,7 @@ class DinoV3Attention(nn.Module):
 
         out = sdpa(rope(qh), rope(kh), vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(c, name="o_proj", dtype=self.dtype)(out)
+        return dense_cls(self.quant)(c, name="o_proj", dtype=self.dtype)(out)
 
 
 class DinoV3Layer(nn.Module):
@@ -76,25 +79,29 @@ class DinoV3Layer(nn.Module):
     use_gated_mlp: bool = False
     rope_theta: float = 100.0
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, grid_hw):
         c = x.shape[-1]
         h = LayerNorm(eps=1e-5, name="norm1", dtype=self.dtype)(x)
         h = DinoV3Attention(self.num_heads, self.n_prefix, self.rope_theta,
-                            name="attention", dtype=self.dtype)(h, grid_hw)
+                            name="attention", dtype=self.dtype,
+                            quant=self.quant)(h, grid_hw)
         ls1 = self.param("layer_scale1", nn.initializers.ones, (c,))
         x = x + h * ls1.astype(h.dtype)
         h = LayerNorm(eps=1e-5, name="norm2", dtype=self.dtype)(x)
         inter = self.mlp_ratio * c
         if self.use_gated_mlp:
-            gate = nn.Dense(inter, name="mlp_gate", dtype=self.dtype)(h)
-            up = nn.Dense(inter, name="mlp_up", dtype=self.dtype)(h)
-            h = nn.Dense(c, name="mlp_down", dtype=self.dtype)(
+            D = dense_cls(self.quant)
+            gate = D(inter, name="mlp_gate", dtype=self.dtype)(h)
+            up = D(inter, name="mlp_up", dtype=self.dtype)(h)
+            h = D(c, name="mlp_down", dtype=self.dtype)(
                 _gelu_act(gate) * up)
         else:
-            h = nn.Dense(inter, name="mlp_up", dtype=self.dtype)(h)
-            h = nn.Dense(c, name="mlp_down", dtype=self.dtype)(
+            D = dense_cls(self.quant)
+            h = D(inter, name="mlp_up", dtype=self.dtype)(h)
+            h = D(c, name="mlp_down", dtype=self.dtype)(
                 _gelu_act(h))
         ls2 = self.param("layer_scale2", nn.initializers.ones, (c,))
         return x + h * ls2.astype(h.dtype)
@@ -105,6 +112,7 @@ class DinoV3(nn.Module):
     use_gated_mlp: bool = False
     rope_theta: float = 100.0
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"   # "int8": W8A8 encoder GEMMs (ops/quant.py)
 
     @nn.compact
     def __call__(self, imgs, drop_prefix_tokens: bool = True):
@@ -133,7 +141,8 @@ class DinoV3(nn.Module):
             x = DinoV3Layer(c.num_heads, n_prefix,
                             use_gated_mlp=self.use_gated_mlp,
                             rope_theta=self.rope_theta,
-                            name=f"layer_{i}", dtype=self.dtype)(x, (grid, grid))
+                            name=f"layer_{i}", dtype=self.dtype,
+                            quant=self.quant)(x, (grid, grid))
         x = LayerNorm(eps=1e-5, name="norm", dtype=self.dtype)(x)
         if drop_prefix_tokens:
             x = x[:, n_prefix:, :]

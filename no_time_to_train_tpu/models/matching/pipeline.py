@@ -70,6 +70,9 @@ class MatchingConfig:
     # long-sequence attention (Hiera global blocks, decoder image side) —
     # the reference's first-class flash-attn toggle
     # (sam2/modeling/sam/transformer.py:23-41). See ops/attention.py.
+    encoder_quant: str = "none"          # "int8": W8A8 encoder GEMMs
+    # (DINO + Hiera towers, ops/quant.py) on the int8 MXU path — opt-in;
+    # AP impact unvalidated without real data, so "none" stays default.
 
 
 def _normalize(img):
@@ -165,14 +168,17 @@ class NoAMGMatcher:
         from no_time_to_train_tpu.ops.attention import set_default_impl
         set_default_impl(matching.attention_impl)
         dtype = jnp.dtype(matching.compute_dtype)
-        self.sam2 = SAM2(self.sam2_cfg, dtype=dtype)
+        self.sam2 = SAM2(self.sam2_cfg, dtype=dtype,
+                         encoder_quant=matching.encoder_quant)
         if self.enc_cfg.family == "dinov3":
             from no_time_to_train_tpu.models.dino_v3 import DinoV3
             gated = "plus" in self.enc_cfg.hf_model_name \
                 or "huge" in self.enc_cfg.name
-            self.dino = DinoV3(self.enc_cfg, use_gated_mlp=gated, dtype=dtype)
+            self.dino = DinoV3(self.enc_cfg, use_gated_mlp=gated, dtype=dtype,
+                               quant=matching.encoder_quant)
         else:
-            self.dino = DinoV2(self.enc_cfg, dtype=dtype)
+            self.dino = DinoV2(self.enc_cfg, dtype=dtype,
+                               quant=matching.encoder_quant)
 
         key = jax.random.PRNGKey(seed)
         if sam2_params is None:

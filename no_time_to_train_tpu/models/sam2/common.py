@@ -34,13 +34,16 @@ class MLP(nn.Module):
     activation: str = "relu"
     sigmoid_output: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        from no_time_to_train_tpu.ops.quant import dense_cls
+        D = dense_cls(self.quant)
         act = ACT[self.activation]
         for i in range(self.num_layers):
             out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(out, name=f"layers_{i}", dtype=self.dtype)(x)
+            x = D(out, name=f"layers_{i}", dtype=self.dtype)(x)
             if i < self.num_layers - 1:
                 x = act(x)
         if self.sigmoid_output:

@@ -100,6 +100,7 @@ class MultiScaleAttention(nn.Module):
     num_heads: int
     q_pool: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -115,7 +116,9 @@ class MultiScaleAttention(nn.Module):
         else:
             b, h, w, _ = x.shape
             t = h * w
-        qkv = nn.Dense(3 * self.dim_out, name="qkv", dtype=self.dtype)(x)
+        from no_time_to_train_tpu.ops.quant import dense_cls
+        D = dense_cls(self.quant)
+        qkv = D(3 * self.dim_out, name="qkv", dtype=self.dtype)(x)
         qkv = qkv.reshape(b, t, 3 * self.dim_out)
         d = self.dim_out
         nh = self.num_heads
@@ -132,7 +135,7 @@ class MultiScaleAttention(nn.Module):
             # q-pool blocks only run on the spatial path (the token-major
             # stage flow excludes them); result is already [b, h*w, nh, dh]
             out = sdpa_bnhd(q, k, v).reshape(b, h, w, -1)
-            return nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
+            return D(self.dim_out, name="proj", dtype=self.dtype)(out)
         else:
             # head_dim (72 at Hiera dims) is not lane-aligned, so ANY
             # (heads, dh) split into sdpa's [B, H, N, D] layout is a real
@@ -144,10 +147,10 @@ class MultiScaleAttention(nn.Module):
             out = sdpa_bnhd(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
             if tokens:
                 out = out.reshape(b * t, -1)
-                y = nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
+                y = D(self.dim_out, name="proj", dtype=self.dtype)(out)
                 return y.reshape(b, t, self.dim_out)
             out = out.reshape(b, h, w, -1)
-            return nn.Dense(self.dim_out, name="proj", dtype=self.dtype)(out)
+            return D(self.dim_out, name="proj", dtype=self.dtype)(out)
 
 
 class MultiScaleBlock(nn.Module):
@@ -158,6 +161,7 @@ class MultiScaleBlock(nn.Module):
     q_stride: bool = False
     window_size: int = 0
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, tokens=False):
@@ -189,7 +193,7 @@ class MultiScaleBlock(nn.Module):
             xm = LayerNorm(eps=1e-6, name="norm2", dtype=self.dtype)(x2)
             x2 = x2 + MLP(int(self.dim_out * self.mlp_ratio), self.dim_out,
                           2, activation="gelu", name="mlp",
-                          dtype=self.dtype)(xm)
+                          dtype=self.dtype, quant=self.quant)(xm)
             return x2.reshape(bw, t, self.dim_out)
 
         shortcut = x
@@ -209,7 +213,7 @@ class MultiScaleBlock(nn.Module):
 
         attn = MultiScaleAttention(self.dim_out, self.num_heads,
                                    q_pool=self.q_stride, name="attn",
-                                   dtype=self.dtype)
+                                   dtype=self.dtype, quant=self.quant)
         xw = attn(xw)
 
         if self.q_stride:
@@ -225,7 +229,8 @@ class MultiScaleBlock(nn.Module):
         x = shortcut + xw
         xm = LayerNorm(eps=1e-6, name="norm2", dtype=self.dtype)(x)
         x = x + MLP(int(self.dim_out * self.mlp_ratio), self.dim_out, 2,
-                    activation="gelu", name="mlp", dtype=self.dtype)(xm)
+                    activation="gelu", name="mlp", dtype=self.dtype,
+                    quant=self.quant)(xm)
         return x
 
 
@@ -243,6 +248,7 @@ class Hiera(nn.Module):
     return_interm_layers: bool = True
     force_spatial: bool = False   # disable the window-major stage flow
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"   # "int8": W8A8 block GEMMs (ops/quant.py)
 
     def setup(self):
         depth = sum(self.stages)
@@ -276,7 +282,7 @@ class Hiera(nn.Module):
             blocks.append(MultiScaleBlock(
                 dim=embed_dim, dim_out=dim_out, num_heads=num_heads,
                 q_stride=(i in self.q_pool_blocks), window_size=window_size,
-                name=f"blocks_{i}", dtype=self.dtype))
+                name=f"blocks_{i}", dtype=self.dtype, quant=self.quant))
             embed_dim = dim_out
         self.blocks = blocks
 

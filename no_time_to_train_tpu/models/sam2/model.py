@@ -27,6 +27,7 @@ NO_OBJ_SCORE = -1024.0
 class Sam2ImageEncoder(nn.Module):
     cfg: Sam2Config
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"   # "int8": W8A8 Hiera block GEMMs (ops/quant.py)
 
     def setup(self):
         c = self.cfg
@@ -34,7 +35,8 @@ class Sam2ImageEncoder(nn.Module):
             embed_dim=c.embed_dim, num_heads=c.num_heads, stages=c.stages,
             global_att_blocks=c.global_att_blocks,
             window_pos_embed_bkg_spatial_size=c.window_pos_embed_bkg_spatial_size,
-            window_spec=c.window_spec, name="trunk", dtype=self.dtype)
+            window_spec=c.window_spec, name="trunk", dtype=self.dtype,
+            quant=self.quant)
         self.neck = FpnNeck(
             d_model=c.d_model, backbone_channel_list=list(c.backbone_channel_list),
             num_pos_feats=c.d_model, fpn_top_down_levels=list(c.fpn_top_down_levels),
@@ -52,11 +54,15 @@ class Sam2ImageEncoder(nn.Module):
 class SAM2(nn.Module):
     cfg: Sam2Config
     dtype: jnp.dtype = jnp.float32
+    encoder_quant: str = "none"   # image-encoder (Hiera) GEMMs only; the
+    # prompt/mask towers always stay in the compute dtype (tiny GEMMs,
+    # directly feed mask/IoU regression)
 
     def setup(self):
         c = self.cfg
         self.image_encoder = Sam2ImageEncoder(c, name="image_encoder",
-                                              dtype=self.dtype)
+                                              dtype=self.dtype,
+                                              quant=self.encoder_quant)
         emb = c.sam_image_embedding_size
         self.sam_prompt_encoder = PromptEncoder(
             embed_dim=c.hidden_dim, image_embedding_size=(emb, emb),

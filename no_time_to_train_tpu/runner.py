@@ -109,6 +109,7 @@ class MatcherRunner:
             compute_dtype=str(infer.get("compute_dtype", "float32")),
             decoder_impl=str(infer.get("decoder_impl", "dense")),
             attention_impl=str(infer.get("attention_impl", "xla")),
+            encoder_quant=str(infer.get("encoder_quant", "none")),
         )
 
         sam2_cfg_file = model_cfg.get("sam2_cfg_file", "sam2_hiera_l.yaml")
