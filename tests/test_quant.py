@@ -79,6 +79,35 @@ def test_quantized_encoder_drift(family):
         assert cos > 0.98, cos
 
 
+def test_int8_dot_tpu_parity():
+    """Compiled int8 dot on the real TPU vs the CPU backend.
+
+    int32 accumulation and the f32 rescale are exact/deterministic, but the
+    quantize step's `x / scale` lowers to reciprocal-multiply on the TPU, so
+    values sitting exactly on a round-to-nearest tie can flip one int8 level
+    vs the CPU's IEEE division (measured: 0.375% of elements, each off by
+    exactly one quant step ~0.009 here). The assertion therefore bounds the
+    flip magnitude and fraction rather than demanding bit-identity — while
+    still catching an MXU path that silently upcasts through a lossy dtype
+    (that shifts every element, not a tie-breaking few)."""
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU device available")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(512, 256)) / 8).astype(np.float32))
+    cpu = np.asarray(jax.jit(int8_dot)(x, w))
+    xt, wt = jax.device_put(x, tpus[0]), jax.device_put(w, tpus[0])
+    tpu = np.asarray(jax.jit(int8_dot)(xt, wt))
+    diff = np.abs(tpu - cpu)
+    # one flipped int8 level contributes xs*ks*|operand| <= ~0.05 at these
+    # magnitudes; a lossy upcast would blow past this on most elements
+    assert diff.max() < 0.05, diff.max()
+    assert (diff > 1e-4).mean() < 0.02, (diff > 1e-4).mean()
+    rel = np.linalg.norm(tpu - cpu) / np.linalg.norm(cpu)
+    assert rel < 1e-3, rel
+
+
 def test_pipeline_accepts_encoder_quant():
     """MatchingConfig(encoder_quant="int8") builds and runs the tiny-config
     test step end-to-end (CPU): the flag reaches both towers."""
