@@ -67,7 +67,7 @@ def main():
     from no_time_to_train_tpu.models.matching import memory_bank as mb
 
     compute_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
-    attention_impl = "pallas" if "--attention-impl=pallas" in sys.argv else "xla"
+    attention_impl = "xla" if "--attention-impl=xla" in sys.argv else "pallas"
     decoder_impl = "factored" if "--decoder-impl=factored" in sys.argv \
         else "dense"
     batch = 1

@@ -16,7 +16,7 @@ import flax.linen as nn
 
 from no_time_to_train_tpu.config.presets import EncoderConfig
 from no_time_to_train_tpu.models.sam2.common import LayerNorm, _gelu_act
-from no_time_to_train_tpu.ops.attention import sdpa
+from no_time_to_train_tpu.ops.attention import sdpa_bnhd
 from no_time_to_train_tpu.ops.quant import dense_cls
 from no_time_to_train_tpu.ops.resize import resize
 
@@ -34,11 +34,14 @@ class DinoAttention(nn.Module):
         k = D(c, name="key", dtype=self.dtype)(x)
         v = D(c, name="value", dtype=self.dtype)(x)
 
+        # stay in the [b, n, h, d] qkv-GEMM layout end-to-end (sdpa_bnhd):
+        # a [b, h, n, d] relayout is a real copy under the Pallas impl and
+        # an einsum-folded no-op under XLA, so bnhd is never worse
         def split(t):
-            return t.reshape(b, n, self.num_heads, -1).transpose(0, 2, 1, 3)
+            return t.reshape(b, n, self.num_heads, -1)
 
-        out = sdpa(split(q), split(k), split(v))
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = sdpa_bnhd(split(q), split(k), split(v))
+        out = out.reshape(b, n, c)
         return dense_cls(self.quant)(c, name="output", dtype=self.dtype)(out)
 
 

@@ -14,7 +14,7 @@ import flax.linen as nn
 
 from no_time_to_train_tpu.config.presets import EncoderConfig
 from no_time_to_train_tpu.models.sam2.common import LayerNorm, _gelu_act
-from no_time_to_train_tpu.ops.attention import sdpa
+from no_time_to_train_tpu.ops.attention import sdpa_bnhd
 from no_time_to_train_tpu.ops.quant import dense_cls
 
 
@@ -53,22 +53,25 @@ class DinoV3Attention(nn.Module):
         k = D(c, name="k_proj", dtype=self.dtype)(x)
         v = D(c, name="v_proj", dtype=self.dtype)(x)
 
+        # stay in the [b, n, h, d] qkv-GEMM layout end-to-end (sdpa_bnhd):
+        # a [b, h, n, d] relayout is a real copy under the Pallas impl and
+        # an einsum-folded no-op under XLA, so bnhd is never worse
         def split(t):
-            return t.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            return t.reshape(b, n, self.num_heads, head_dim)
 
         qh, kh, vh = split(q), split(k), split(v)
         cos_np, sin_np = _rope_tables_np(grid_hw[0], grid_hw[1], head_dim,
                                          self.rope_theta)
-        cos = jnp.asarray(cos_np, qh.dtype)
-        sin = jnp.asarray(sin_np, qh.dtype)
+        cos = jnp.asarray(cos_np, qh.dtype)[None, :, None, :]
+        sin = jnp.asarray(sin_np, qh.dtype)[None, :, None, :]
 
         def rope(t):
-            prefix, patches = t[:, :, :self.n_prefix], t[:, :, self.n_prefix:]
+            prefix, patches = t[:, :self.n_prefix], t[:, self.n_prefix:]
             patches = patches * cos + _rotate_half(patches) * sin
-            return jnp.concatenate([prefix, patches], axis=2)
+            return jnp.concatenate([prefix, patches], axis=1)
 
-        out = sdpa(rope(qh), rope(kh), vh)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = sdpa_bnhd(rope(qh), rope(kh), vh)
+        out = out.reshape(b, n, c)
         return dense_cls(self.quant)(c, name="o_proj", dtype=self.dtype)(out)
 
 

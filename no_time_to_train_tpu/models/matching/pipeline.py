@@ -66,7 +66,7 @@ class MatchingConfig:
     # or "factored" (rank-factored image side, models/sam2/factored_decode.py;
     # measured ~same speed at P=256 on v5e — the [P,n,r] factor traffic offsets
     # the saved [P,n,C] projections; kept as a verified alternative)
-    attention_impl: str = "xla"          # "xla" or "pallas": SDPA backend for
+    attention_impl: str = "pallas"       # "pallas" or "xla": SDPA backend for
     # long-sequence attention (Hiera global blocks, decoder image side) —
     # the reference's first-class flash-attn toggle
     # (sam2/modeling/sam/transformer.py:23-41). See ops/attention.py.

@@ -15,12 +15,17 @@ __all__ = ["sdpa", "sdpa_bnhd", "set_default_impl", "get_default_impl"]
 
 # Backend policy, selected like the reference's global SDPA kernel context
 # (sam2/modeling/sam/transformer.py:23-41 enables/disables flash per process):
-# "xla" (default) or "pallas". Under "pallas" the Pallas flash kernel is used
-# for long-sequence unmasked attention (Hiera global blocks, decoder
-# image-side); short token-side attentions always stay on the fused XLA path
-# (flash tiling needs N >= 2*block). Set BEFORE the first trace of a model —
-# it is baked into the jitted program, exactly like the torch context.
-_DEFAULT_IMPL = "xla"
+# "pallas" (default) or "xla". Under "pallas" the single-pass/online flash
+# kernels take long-sequence unmasked attention (DINO layers, Hiera global
+# blocks, decoder image-side); short token-side and masked attentions always
+# stay on the fused XLA path. Default flipped to "pallas" in round 4 after
+# the bnhd single-pass kernel measured 93-94 ms/img pipelined / 120-125
+# fenced vs xla's 94 / 123-127 on the flagship step (at worst par pipelined,
+# consistently better fenced; ARCHITECTURE.md round-4 measurements);
+# off-TPU every path falls back to XLA. Set BEFORE the first trace of a
+# model — it is baked into the jitted program, exactly like the torch
+# context.
+_DEFAULT_IMPL = "pallas"
 _PALLAS_MIN_Q = 512  # below this, blocks don't tile / XLA fusion wins
 
 
@@ -67,12 +72,22 @@ def sdpa_bnhd(q, k, v, impl=None):
     contractions directly lets XLA fold the operand orders into the attention
     GEMMs instead. Same math as `sdpa` (f32 softmax, same cast points).
 
-    Under the process-default "pallas" impl, long sequences take the flash
-    kernel via explicit transposes (the kernel needs contiguous [BH, N, D]),
-    preserving the `attention_impl` flag's meaning."""
+    Under the process-default "pallas" impl, long sequences take the
+    single-pass flash kernel's native bnhd entry (flash_sdpa_bnhd — the head
+    axis is a kernel grid dimension, so no relayout copies exist); key
+    ranges beyond its VMEM cap fall back to the online kernel via explicit
+    transposes, preserving the `attention_impl` flag's meaning."""
     if impl is None:
         impl = _DEFAULT_IMPL
     if impl == "pallas":
+        from no_time_to_train_tpu.ops.upscale_product import fusion_disabled
+        if (q.shape[-3] >= _PALLAS_MIN_Q and k.shape[-3] >= _PALLAS_MIN_Q
+                and not _default_device_is_cpu() and not fusion_disabled()):
+            from no_time_to_train_tpu.ops.flash_attention import \
+                flash_sdpa_bnhd
+            out = flash_sdpa_bnhd(q, k, v)
+            if out is not None:
+                return out
         out = sdpa(q.swapaxes(-3, -2), k.swapaxes(-3, -2),
                    v.swapaxes(-3, -2), impl=impl)
         return out.swapaxes(-3, -2)

@@ -108,7 +108,7 @@ class MatcherRunner:
             with_negative_refs=bool(infer.get("with_negative_refs", False)),
             compute_dtype=str(infer.get("compute_dtype", "float32")),
             decoder_impl=str(infer.get("decoder_impl", "dense")),
-            attention_impl=str(infer.get("attention_impl", "xla")),
+            attention_impl=str(infer.get("attention_impl", "pallas")),
             encoder_quant=str(infer.get("encoder_quant", "none")),
         )
 

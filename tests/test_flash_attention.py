@@ -53,6 +53,7 @@ def test_flash_padded_head_dim_interpret(rng, monkeypatch):
     monkeypatch.setattr(fa, "_flash_bh", functools.partial(
         _interp_flash_bh))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fa, "ONEPASS_MAX_NK", 0)  # pin the online kernel
     q = jnp.asarray(rng.standard_normal((1, 2, 512, 72)), jnp.float32)
     out = fa.flash_sdpa(q, q, q, block_q=256, block_k=256)
     ref = _xla_sdpa(q, q, q)
@@ -88,6 +89,7 @@ def test_flash_ragged_seq_interpret(rng, monkeypatch):
     grain and padded key columns are masked out of the softmax in-kernel."""
     monkeypatch.setattr(fa, "_flash_bh", _interp_flash_bh)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fa, "ONEPASS_MAX_NK", 0)  # pin the online kernel
     q = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)) * 0.5, jnp.float32)
     k = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)) * 0.5, jnp.float32)
     v = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)), jnp.float32)
@@ -103,6 +105,7 @@ def test_flash_ragged_kv_only_interpret(rng, monkeypatch):
     """Cross-attention shape: divisible queries against ragged keys."""
     monkeypatch.setattr(fa, "_flash_bh", _interp_flash_bh)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(fa, "ONEPASS_MAX_NK", 0)  # pin the online kernel
     q = jnp.asarray(rng.standard_normal((1, 2, 512, 64)) * 0.5, jnp.float32)
     k = jnp.asarray(rng.standard_normal((1, 2, 700, 64)) * 0.5, jnp.float32)
     v = jnp.asarray(rng.standard_normal((1, 2, 700, 64)), jnp.float32)
@@ -125,6 +128,7 @@ def test_default_impl_routing(monkeypatch, rng):
 
     monkeypatch.setattr(fa, "flash_sdpa", fake_flash)
     monkeypatch.setattr(att, "_default_device_is_cpu", lambda: False)
+    prev = att.get_default_impl()
     att.set_default_impl("pallas")
     try:
         q_long = jnp.asarray(rng.standard_normal((1, 2, 1024, 32)),
@@ -136,23 +140,167 @@ def test_default_impl_routing(monkeypatch, rng):
                  mask=jnp.ones((1, 1, 1024, 1024), bool))  # masked -> XLA
         att.sdpa(q_long, q_long, q_long, impl="xla")        # explicit XLA
         assert calls == [(1, 2, 1024, 32)]
-    finally:
         att.set_default_impl("xla")
-    # default restored
-    att.sdpa(q_long, q_long, q_long)
-    assert calls == [(1, 2, 1024, 32)]
+        att.sdpa(q_long, q_long, q_long)          # xla default: no flash
+        assert calls == [(1, 2, 1024, 32)]
+    finally:
+        att.set_default_impl(prev)
 
 
 def test_matching_config_sets_attention_impl():
     from no_time_to_train_tpu.ops import attention as att
     from no_time_to_train_tpu.models.matching.pipeline import MatchingConfig
-    assert MatchingConfig().attention_impl == "xla"
-    assert att.get_default_impl() == "xla"
+    # "pallas" default since round 4 (measured faster on the flagship step);
+    # every path falls back to fused XLA off-TPU / below the tiling minimum
+    assert MatchingConfig().attention_impl == "pallas"
+    assert att.get_default_impl() == "pallas"
+
+
+@pytest.mark.skipif(not fa._HAS_TPU_PALLAS, reason="no pallas tpu")
+def test_onepass_kernel_interpret(rng, monkeypatch):
+    """Single-pass kernel (whole key range in VMEM, native head dim) vs XLA:
+    d=72 (Hiera global blocks) and an uneven query block split."""
+    import functools
+    monkeypatch.setattr(fa, "_onepass_bh",
+                        functools.partial(fa._onepass_bh, interpret=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    q = jnp.asarray(rng.standard_normal((1, 2, 600, 72)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 512, 72)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 512, 72)), jnp.float32)
+    out = fa.flash_sdpa(q, k, v)
+    ref = _xla_sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)
+
+
+@pytest.mark.skipif(not fa._HAS_TPU_PALLAS, reason="no pallas tpu")
+def test_onepass_ragged_interpret(rng, monkeypatch):
+    """Single-pass kernel with ragged keys (DINO's 1370 tokens pad to 1408;
+    padded key columns must be masked out of the softmax)."""
+    import functools
+    monkeypatch.setattr(fa, "_onepass_bh",
+                        functools.partial(fa._onepass_bh, interpret=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    q = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 1370, 64)), jnp.float32)
+    out = fa.flash_sdpa(q, k, v)
+    ref = _xla_sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)
+
+
+@pytest.mark.skipif(not fa._HAS_TPU_PALLAS, reason="no pallas tpu")
+def test_onepass_bnhd_interpret(rng, monkeypatch):
+    """bnhd single-pass entry (head axis as a grid dimension, no relayout)
+    vs XLA at the DINO shape (ragged N=1370, h=4, d=64)."""
+    import functools
+    monkeypatch.setattr(fa, "_onepass_bnhd",
+                        functools.partial(fa._onepass_bnhd, interpret=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    q = jnp.asarray(rng.standard_normal((1, 1370, 4, 64)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1370, 4, 64)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1370, 4, 64)), jnp.float32)
+    out = fa.flash_sdpa_bnhd(q, k, v)
+    assert out is not None and out.shape == q.shape
+    ref = _xla_sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)
+
+
+def test_sdpa_bnhd_routes_flash_bnhd(monkeypatch, rng):
+    """Under impl='pallas', sdpa_bnhd takes the native bnhd kernel (no
+    swapaxes) for qualifying shapes and falls back for the rest."""
+    from no_time_to_train_tpu.ops import attention as att
+    calls = []
+
+    def fake_bnhd(q, k, v):
+        calls.append(q.shape)
+        return q
+    monkeypatch.setattr(fa, "flash_sdpa_bnhd", fake_bnhd)
+    monkeypatch.setattr(att, "_default_device_is_cpu", lambda: False)
+    q_long = jnp.zeros((1, 1024, 2, 32), jnp.float32)
+    q_short = jnp.zeros((4, 8, 2, 32), jnp.float32)
+    att.sdpa_bnhd(q_long, q_long, q_long, impl="pallas")
+    att.sdpa_bnhd(q_short, q_short, q_short, impl="pallas")  # tiny N -> XLA
+    att.sdpa_bnhd(q_long, q_long, q_long, impl="xla")
+    assert calls == [(1, 1024, 2, 32)]
+
+
+def test_flash_sdpa_routes_onepass_vs_online():
+    """Key ranges <= ONEPASS_MAX_NK take the single-pass kernel; wider ones
+    the online-softmax kernel (routing checked via monkeypatch sentinels)."""
+    assert fa._onepass_block_q(1370, 1408) == 464   # DINO: 3 even blocks
+    assert fa._onepass_block_q(4096, 4096) == 256   # Hiera global blocks
+    assert fa._onepass_block_q(512, 512) == 512     # single block
+    assert fa._onepass_block_q(600, 512) == 304     # uneven split, 8-grain
+
+
+def test_onepass_hiera_global_tpu_parity(rng):
+    """Compiled single-pass kernel at the Hiera global-block shape
+    (n=4096, d=72 — a non-128 lane dim, the riskiest Mosaic lowering)
+    vs XLA on the real TPU."""
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU device available")
+    dev = tpus[0]
+    q = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 2, 4096, 72)) * 0.3, jnp.bfloat16), dev)
+    k = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 2, 4096, 72)) * 0.3, jnp.bfloat16), dev)
+    v = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 2, 4096, 72)) * 0.3, jnp.bfloat16), dev)
+    out = np.asarray(jax.jit(fa.flash_sdpa)(q, k, v), np.float32)
+    ref = np.asarray(jax.jit(_xla_sdpa)(q, k, v), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_onepass_bnhd_tpu_parity(rng):
+    """Compiled bnhd single-pass kernel at the DINO-L shape
+    ([1, 1370, 16, 64], ragged keys, head axis as grid dim) vs XLA on the
+    real TPU."""
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU device available")
+    dev = tpus[0]
+    q = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 1370, 16, 64)) * 0.3, jnp.bfloat16), dev)
+    k = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 1370, 16, 64)) * 0.3, jnp.bfloat16), dev)
+    v = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 1370, 16, 64)) * 0.3, jnp.bfloat16), dev)
+    out = np.asarray(jax.jit(fa.flash_sdpa_bnhd)(q, k, v), np.float32)
+
+    def ref_fn(q, k, v):
+        return _xla_sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    ref = np.asarray(jax.jit(ref_fn)(q, k, v), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_online_kernel_tpu_parity(rng):
+    """Compiled online-softmax kernel (key range beyond the one-pass cap)
+    vs XLA on the real TPU."""
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU device available")
+    dev = tpus[0]
+    q = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 2, 5120, 64)) * 0.3, jnp.bfloat16), dev)
+    k = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 2, 5120, 64)) * 0.3, jnp.bfloat16), dev)
+    v = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 2, 5120, 64)) * 0.3, jnp.bfloat16), dev)
+    out = np.asarray(jax.jit(fa.flash_sdpa)(q, k, v), np.float32)
+    ref = np.asarray(jax.jit(_xla_sdpa)(q, k, v), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
 def test_flash_sdpa_tpu_parity(rng):
     """Compiled (non-interpret) kernel vs XLA on the real TPU (the conftest
-    pins the default device to CPU, so target the TPU explicitly)."""
+    pins the default device to CPU, so target the TPU explicitly).
+    [.., 2048, 64] routes through the single-pass kernel."""
     tpus = [d for d in jax.devices() if d.platform != "cpu"]
     if not tpus:
         pytest.skip("no TPU device available")

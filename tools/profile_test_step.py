@@ -97,6 +97,8 @@ def main():
     ap.add_argument("--joint", action="store_true",
                     help="also print the per-(name, source) table")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--attention-impl", default="xla",
+                    choices=("xla", "pallas"))
     args = ap.parse_args()
 
     if args.parse_only:
@@ -114,7 +116,8 @@ def main():
 
     dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
     matcher = NoAMGMatcher("sam2_hiera_l.yaml", "dinov2_large",
-                           MatchingConfig(compute_dtype=dtype),
+                           MatchingConfig(compute_dtype=dtype,
+                                          attention_impl=args.attention_impl),
                            n_classes=20, memory_length=10)
     matcher.bank = mb.postprocess(matcher.bank)
     rng = np.random.default_rng(0)
