@@ -97,8 +97,8 @@ def main():
     ap.add_argument("--joint", action="store_true",
                     help="also print the per-(name, source) table")
     ap.add_argument("--top", type=int, default=40)
-    ap.add_argument("--attention-impl", default="xla",
-                    choices=("xla", "pallas"))
+    ap.add_argument("--attention-impl", default="pallas",
+                    choices=("pallas", "xla"))
     args = ap.parse_args()
 
     if args.parse_only:
