@@ -33,33 +33,15 @@ N_WARMUP = 2
 N_ITERS = 8
 
 
-def _init_backend_bounded(timeout_s=240.0):
-    """First jax backend touch, bounded. Through the axon remote-TPU tunnel,
-    backend discovery dials the relay; when the relay is down that dial hangs
-    forever in every process. Run it in a daemon thread so a dead relay turns
-    into a fast, explicit failure instead of an unbounded hang."""
-    import threading
-    result = {}
-
-    def _init():
-        import jax
-        result["backend"] = jax.default_backend()
-
-    t = threading.Thread(target=_init, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "backend" not in result:
-        print(f"bench.py: jax backend init did not complete within "
-              f"{timeout_s:.0f}s — the axon TPU relay is likely down "
-              f"(see CLAUDE.md); nothing local restarts it", file=sys.stderr)
-        sys.exit(1)
-    return result["backend"]
-
-
 def main():
-    from no_time_to_train_tpu.utils.cache import enable_compilation_cache
+    from no_time_to_train_tpu.utils.cache import (enable_compilation_cache,
+                                                  init_backend_bounded)
     enable_compilation_cache()
-    _init_backend_bounded()
+    try:
+        init_backend_bounded(what="bench.py jax backend init")
+    except RuntimeError as e:
+        print(f"bench.py: {e}", file=sys.stderr)
+        sys.exit(1)
     import jax
 
     from no_time_to_train_tpu.models.matching.pipeline import (
@@ -67,14 +49,17 @@ def main():
     from no_time_to_train_tpu.models.matching import memory_bank as mb
 
     compute_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
-    attention_impl = "xla" if "--attention-impl=xla" in sys.argv else "pallas"
-    decoder_impl = "factored" if "--decoder-impl=factored" in sys.argv \
-        else "dense"
+    attention_impl = "pallas"
+    decoder_impl = "dense"
     batch = 1
     point_bs = 256
     depth = 1
     quant = "none"
     for a in sys.argv[1:]:
+        if a.startswith("--attention-impl="):
+            attention_impl = a.split("=")[1]
+        if a.startswith("--decoder-impl="):
+            decoder_impl = a.split("=")[1]
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
         if a.startswith("--point-bs="):
@@ -83,6 +68,10 @@ def main():
             depth = int(a.split("=")[1])
         if a.startswith("--quant="):
             quant = a.split("=")[1]  # "int8": W8A8 encoder GEMMs (opt-in)
+    # a typo'd A/B flag must fail loudly, not silently bench the default
+    assert attention_impl in ("pallas", "xla"), attention_impl
+    assert decoder_impl in ("dense", "factored"), decoder_impl
+    assert quant in ("none", "int8"), quant
     matching = MatchingConfig(compute_dtype=compute_dtype,
                               attention_impl=attention_impl,
                               decoder_impl=decoder_impl,

@@ -50,11 +50,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale, n_valid):
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        if n_valid % block_k:
-            # key axis padded to the block multiple: mask the padded columns
-            # out of the softmax (n_valid is a trace-time constant; padded
-            # QUERY rows need no handling — they see all-valid keys and are
-            # sliced off by the caller)
+        if n_valid < n_k:
+            # keys beyond n_valid are padding: mask them out of the softmax
+            # (n_valid is a trace-time constant; padded QUERY rows need no
+            # handling — they see all-valid keys and are sliced off by the
+            # caller). Gate on n_valid < n_k, not n_valid % block_k — a
+            # caller may pad by whole blocks.
             col = i * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(col < n_valid, s, -jnp.inf)

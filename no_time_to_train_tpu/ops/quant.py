@@ -7,9 +7,14 @@ remaining lever on that slice of the profile.
 
 Scheme (standard dynamic W8A8, no calibration data needed):
 - weights: per-output-channel absmax scale, round-to-nearest to [-127, 127].
-  Quantized from the live (bf16/f32) param tree at trace time — the param
-  tree layout is IDENTICAL to `nn.Dense` (kernel [in, out], bias [out]), so
-  converted torch checkpoints load unchanged and `Int8Dense` is a drop-in.
+  Quantized from the live (bf16/f32) param tree INSIDE the jitted step —
+  params are jit arguments (CLAUDE.md: never close over them), so the
+  quantize re-runs each step (~<1 ms: one weight stream + a few VPU passes).
+  In exchange the param tree layout stays IDENTICAL to `nn.Dense`
+  (kernel [in, out], bias [out]): converted torch checkpoints load
+  unchanged and `Int8Dense` is a drop-in. Pre-quantized int8 storage
+  (kernel_q + scale leaves, quantize once at load) is the documented next
+  step if a deployment ever makes the encoder GEMM slice dominant.
 - activations: per-row (per-token) absmax scale, quantized on the fly.
 - accumulate int32 on the MXU, rescale in f32, bias-add in f32, cast back
   to the module dtype.

@@ -168,10 +168,12 @@ class MatcherRunner:
             # banks both route through the mesh
             dp_fill = None
             bs = 8
-            if self.devices > 1 and len(jax.devices()) >= self.devices:
+            if self.devices > 1 and len(jax.local_devices()) >= self.devices:
                 from no_time_to_train_tpu.parallel.mesh import (
                     make_mesh, make_data_parallel_fill)
-                mesh = make_mesh(jax.devices()[:self.devices])
+                # local_devices: under jax.distributed each process meshes
+                # its OWN chips (jax.devices() is the global list there)
+                mesh = make_mesh(jax.local_devices()[:self.devices])
                 dp_fill = make_data_parallel_fill(self.matcher, mesh,
                                                   positive=positive)
                 bs = self.devices
@@ -243,7 +245,7 @@ class MatcherRunner:
                 os.path.join(self.save_dir, "multihost_gather"))
             if n_proc > 1:  # drop any stale part BEFORE compute starts
                 multihost.clear_rank_part(gather_dir, proc_id)
-            if self.devices > 1 and len(jax.devices()) >= self.devices:
+            if self.devices > 1 and len(jax.local_devices()) >= self.devices:
                 return self._run_test_data_parallel(
                     ds, stage_cfg, indices, (n_proc, proc_id, gather_dir),
                     export_result, output_name)
@@ -251,36 +253,13 @@ class MatcherRunner:
             pool = ThreadPoolExecutor(max_workers=workers)
             futures = [pool.submit(ds.__getitem__, j) for j in indices[:2]]
 
-            vis_dir = None
-            if self.online_vis:
-                vis_dir = os.path.join("./results_analysis",
-                                       stage_cfg.get("name", "coco"))
-                os.makedirs(vis_dir, exist_ok=True)
+            vis_dir = self._vis_dir(stage_cfg)
 
             def finalize(item, device_out, dt):
                 self.time_queue.append(dt)
                 raw = self.matcher.fetch_test(device_out)
-                info = item["target_img_info"]
-                fin = finalize_results(raw, info["ori_height"],
-                                       info["ori_width"])
-                per_img = dict(img_id=info["id"], scores=fin["scores"],
-                               labels=fin["labels"], boxes=fin["bboxes"],
-                               masks=fin["binary_masks"])
-                self.output_queue.append(ds.encode_results([per_img]))
-                self._queue_scalars(item, raw, fin)
-                if vis_dir is not None:
-                    from no_time_to_train_tpu.data.visualization import (
-                        vis_results_online)
-                    out = dict(scores=fin["scores"], labels=fin["labels"],
-                               bboxes=fin["bboxes"],
-                               binary_masks=fin["binary_masks"])
-                    vis_results_online(
-                        out, item.get("tar_anns_by_cat"),
-                        (info["ori_height"], info["ori_width"]),
-                        os.path.join(ds.root, info["file_name"]), vis_dir,
-                        score_thr=self.vis_thr,
-                        dataset_name=stage_cfg.get("name"),
-                        class_names=ds.cat_names)
+                self.output_queue.append(self._finalize_one(
+                    ds, stage_cfg, vis_dir, item, raw))
 
             pending = None  # (item, device_out, dt)
             for pos in range(len(indices)):
@@ -301,44 +280,10 @@ class MatcherRunner:
                 finalize(*pending)
             pool.shutdown()
 
-            times_np = np.array(self.time_queue)
-            print("\n[Validation] Inference Time Benchmark:")
-            print(f"  Total images: {len(times_np)}")
-            print(f"  Total time: {np.sum(times_np):.4f} s")
-            print(f"  Average time per image: {np.mean(times_np):.4f} s")
-            print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
-
-            if self.scalars_queue:
-                os.makedirs(self.save_dir, exist_ok=True)
-                with open(os.path.join(self.save_dir,
-                                       "scalars_all.pkl"), "wb") as f:
-                    pickle.dump(self.scalars_queue, f)
-            if self.triplets_queue:
-                os.makedirs(self.save_dir, exist_ok=True)
-                with open(os.path.join(self.save_dir,
-                                       "triplets_all.pkl"), "wb") as f:
-                    pickle.dump(self.triplets_queue, f)
-            results_unpacked = []
-            if n_proc > 1:
-                # per-rank publish + rank-0 interleaved merge (reference
-                # collect_results_cpu, run_lightning.py:23-78)
-                multihost.save_rank_results(gather_dir, proc_id,
-                                            self.output_queue)
-                if proc_id != 0:
-                    return None
-                merged = multihost.collect_results(gather_dir, n_proc,
-                                                   len(ds))
-                for r in merged:
-                    results_unpacked.extend(r)
-            else:
-                for r in self.output_queue:
-                    results_unpacked.extend(r)
-            if export_result:
-                with open(export_result, "w") as f:
-                    json.dump(results_unpacked, f)
-            stats = ds.evaluate(results_unpacked, output_name=output_name)
-            self._write_metrics_csv(stats, times_np)
-            return stats
+            return self._report_and_evaluate(
+                ds, self.output_queue, (n_proc, proc_id, gather_dir),
+                export_result, output_name, np.array(self.time_queue),
+                n_images=len(self.time_queue))
         elif mode == "vis_memory":
             from no_time_to_train_tpu.data.visualization import vis_memory
             ds = get_dataset(self.dataset_cfgs["fill_memory"], "vis_memory")
@@ -358,6 +303,85 @@ class MatcherRunner:
             raise NotImplementedError(f"Unrecognized test mode {mode}")
         return None
 
+
+    def _vis_dir(self, stage_cfg):
+        """Online-visualization output dir (or None when vis is off)."""
+        if not self.online_vis:
+            return None
+        vis_dir = os.path.join("./results_analysis",
+                               stage_cfg.get("name", "coco"))
+        os.makedirs(vis_dir, exist_ok=True)
+        return vis_dir
+
+    def _finalize_one(self, ds, stage_cfg, vis_dir, item, raw,
+                      analysis=True):
+        """Shared per-image tail of the test loops (single-device and DP):
+        finalize raw device output at the original resolution and
+        COCO-encode it; for non-pad rows (analysis=True) also queue the
+        analysis scalars and the online visualization. Returns the encoded
+        per-image results."""
+        info = item["target_img_info"]
+        fin = finalize_results(raw, info["ori_height"], info["ori_width"])
+        per_img = dict(img_id=info["id"], scores=fin["scores"],
+                       labels=fin["labels"], boxes=fin["bboxes"],
+                       masks=fin["binary_masks"])
+        encoded = ds.encode_results([per_img])
+        if analysis:
+            self._queue_scalars(item, raw, fin)
+            if vis_dir is not None:
+                from no_time_to_train_tpu.data.visualization import (
+                    vis_results_online)
+                vout = dict(scores=fin["scores"], labels=fin["labels"],
+                            bboxes=fin["bboxes"],
+                            binary_masks=fin["binary_masks"])
+                vis_results_online(
+                    vout, item.get("tar_anns_by_cat"),
+                    (info["ori_height"], info["ori_width"]),
+                    os.path.join(ds.root, info["file_name"]), vis_dir,
+                    score_thr=self.vis_thr,
+                    dataset_name=stage_cfg.get("name"),
+                    class_names=ds.cat_names)
+        return encoded
+
+    def _report_and_evaluate(self, ds, results, world, export_result,
+                             output_name, times_np, n_images, time_scale=1):
+        """Shared tail of the test loops: FPS report (reference
+        sam2matcher_pl.py summary format), analysis pkl dumps, multi-process
+        publish + rank-0 interleaved merge (reference collect_results_cpu,
+        run_lightning.py:23-78), result export, COCO evaluation, metrics
+        CSV. Non-zero ranks return None after publishing their part."""
+        from no_time_to_train_tpu.parallel import multihost
+        n_proc, proc_id, gather_dir = world
+        print("\n[Validation] Inference Time Benchmark:")
+        print(f"  Total images: {n_images}")
+        print(f"  Total time: {np.sum(times_np) * time_scale:.4f} s")
+        print(f"  Average time per image: {np.mean(times_np):.4f} s")
+        print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
+
+        for fname, queue in (("scalars_all.pkl", self.scalars_queue),
+                             ("triplets_all.pkl", self.triplets_queue)):
+            if queue:
+                os.makedirs(self.save_dir, exist_ok=True)
+                with open(os.path.join(self.save_dir, fname), "wb") as f:
+                    pickle.dump(queue, f)
+
+        results_unpacked = []
+        if n_proc > 1:
+            # the process-level pad duplicates truncate out at len(ds)
+            multihost.save_rank_results(gather_dir, proc_id, results)
+            if proc_id != 0:
+                return None
+            for r in multihost.collect_results(gather_dir, n_proc, len(ds)):
+                results_unpacked.extend(r)
+        else:
+            for r in results:
+                results_unpacked.extend(r)
+        if export_result:
+            with open(export_result, "w") as f:
+                json.dump(results_unpacked, f)
+        stats = ds.evaluate(results_unpacked, output_name=output_name)
+        self._write_metrics_csv(stats, times_np, n_images=n_images)
+        return stats
 
     def _queue_scalars(self, item, raw, fin):
         """Score dumps for the offline analysis layer (reference
@@ -464,7 +488,10 @@ class MatcherRunner:
         from no_time_to_train_tpu.parallel import multihost
         n_proc, proc_id, gather_dir = world
         n = self.devices
-        mesh = make_mesh(jax.devices()[:n])
+        # local_devices: each process's shard runs on its own addressable
+        # chips (jax.devices() returns the GLOBAL list once jax.distributed
+        # is initialized, and shard_map over non-addressable devices fails)
+        mesh = make_mesh(jax.local_devices()[:n])
         run = make_data_parallel_test(self.matcher, mesh)
         per_rank = [[] for _ in range(n)]
         batches = [indices[i:i + n] for i in range(0, len(indices), n)]
@@ -479,41 +506,18 @@ class MatcherRunner:
         pool = ThreadPoolExecutor(max_workers=workers)
         futures = [pool.submit(load, b) for b in batches[:2]]
 
-        vis_dir = None
-        if self.online_vis:
-            vis_dir = os.path.join("./results_analysis",
-                                   stage_cfg.get("name", "coco"))
-            os.makedirs(vis_dir, exist_ok=True)
+        vis_dir = self._vis_dir(stage_cfg)
 
         def finalize(items, n_valid, out, dt):
             self.time_queue.append(dt / n)
             raw_all = self._fetch_dp(out)
             for j, item in enumerate(items):
                 raw = {k: v[j] for k, v in raw_all.items()}
-                info = item["target_img_info"]
-                fin = finalize_results(raw, info["ori_height"],
-                                       info["ori_width"])
-                per_img = dict(img_id=info["id"], scores=fin["scores"],
-                               labels=fin["labels"], boxes=fin["bboxes"],
-                               masks=fin["binary_masks"])
-                per_rank[j].append(ds.encode_results([per_img]))
-                if j >= n_valid:
-                    continue  # pad duplicate: keep merge alignment, but
-                              # don't double-count analysis rows / vis
-                self._queue_scalars(item, raw, fin)
-                if vis_dir is not None:
-                    from no_time_to_train_tpu.data.visualization import (
-                        vis_results_online)
-                    vout = dict(scores=fin["scores"], labels=fin["labels"],
-                                bboxes=fin["bboxes"],
-                                binary_masks=fin["binary_masks"])
-                    vis_results_online(
-                        vout, item.get("tar_anns_by_cat"),
-                        (info["ori_height"], info["ori_width"]),
-                        os.path.join(ds.root, info["file_name"]), vis_dir,
-                        score_thr=self.vis_thr,
-                        dataset_name=stage_cfg.get("name"),
-                        class_names=ds.cat_names)
+                # pad duplicates (j >= n_valid) keep merge alignment but
+                # must not double-count analysis rows / vis
+                per_rank[j].append(self._finalize_one(
+                    ds, stage_cfg, vis_dir, item, raw,
+                    analysis=j < n_valid))
 
         pending = None
         for bi, batch in enumerate(batches):
@@ -534,40 +538,7 @@ class MatcherRunner:
         # the device lists restores this process's shard order
         merged = interleave_results(per_rank, len(indices))
 
-        times_np = np.array(self.time_queue)
-        print("\n[Validation] Inference Time Benchmark:")
-        print(f"  Total images: {len(indices)}")
-        print(f"  Total time: {np.sum(times_np) * self.devices:.4f} s")
-        print(f"  Average time per image: {np.mean(times_np):.4f} s")
-        print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
-
-        if self.scalars_queue:
-            os.makedirs(self.save_dir, exist_ok=True)
-            with open(os.path.join(self.save_dir,
-                                   "scalars_all.pkl"), "wb") as f:
-                pickle.dump(self.scalars_queue, f)
-        if self.triplets_queue:
-            os.makedirs(self.save_dir, exist_ok=True)
-            with open(os.path.join(self.save_dir,
-                                   "triplets_all.pkl"), "wb") as f:
-                pickle.dump(self.triplets_queue, f)
-
-        results_unpacked = []
-        if n_proc > 1:
-            # per-rank publish + rank-0 interleaved merge (reference
-            # collect_results_cpu, run_lightning.py:23-78); the process-level
-            # pad duplicates truncate out at len(ds)
-            multihost.save_rank_results(gather_dir, proc_id, merged)
-            if proc_id != 0:
-                return None
-            for r in multihost.collect_results(gather_dir, n_proc, len(ds)):
-                results_unpacked.extend(r)
-        else:
-            for r in merged:
-                results_unpacked.extend(r)
-        if export_result:
-            with open(export_result, "w") as f:
-                json.dump(results_unpacked, f)
-        stats = ds.evaluate(results_unpacked, output_name=output_name)
-        self._write_metrics_csv(stats, times_np, n_images=len(indices))
-        return stats
+        return self._report_and_evaluate(
+            ds, merged, world, export_result, output_name,
+            np.array(self.time_queue), n_images=len(indices),
+            time_scale=self.devices)

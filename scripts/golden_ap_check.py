@@ -20,7 +20,8 @@ in CI. When the data exists, run:
         --shots 30 --seed 33
 
 Exit codes: 0 = pass (or skipped), 1 = AP outside tolerance, 2 = pipeline
-error. Tolerance is in AP points on the 0-100 scale (default 0.3, the
+error, 3 = --strict with missing prerequisites (environment not
+provisioned — distinct from an AP regression). Tolerance is in AP points on the 0-100 scale (default 0.3, the
 acceptance criterion: |AP - published| <= 0.003 absolute).
 """
 import argparse
@@ -152,7 +153,7 @@ def main(argv=None):
         print("golden_ap_check: SKIPPED — missing prerequisites:")
         for m in missing:
             print(f"  - {m}")
-        return 1 if a.strict else 0
+        return 3 if a.strict else 0  # 3: env not provisioned (not an AP failure)
 
     expected = dict(PUBLISHED.get(a.shots, {}))
     if a.expected_bbox is not None:

@@ -279,6 +279,51 @@ def test_onepass_bnhd_tpu_parity(rng):
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
+def test_onepass_bnhd_hiera_interpret(rng, monkeypatch):
+    """bnhd single-pass entry at the Hiera global-block shape
+    ([1, 4096, 8, 72]) — per-head lane slices land at NON-128-aligned
+    offsets (72, 144, ...), the riskiest in-kernel slicing the shipped
+    pallas default exercises."""
+    import functools
+    monkeypatch.setattr(fa, "_onepass_bnhd",
+                        functools.partial(fa._onepass_bnhd, interpret=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    q = jnp.asarray(rng.standard_normal((1, 4096, 8, 72)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 4096, 8, 72)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 4096, 8, 72)), jnp.float32)
+    out = fa.flash_sdpa_bnhd(q, k, v)
+    assert out is not None and out.shape == q.shape
+    ref = _xla_sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)
+
+
+def test_onepass_bnhd_hiera_tpu_parity(rng):
+    """Compiled bnhd single-pass kernel at the EXACT flagship Hiera
+    global-block shape ([1, 4096, 8, 72] bf16, per-head lane slices at
+    unaligned offsets) vs XLA on the real TPU — this is the configuration
+    the attention_impl='pallas' default ships, so a Mosaic mis-lowering
+    here would corrupt every flagship mask."""
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU device available")
+    dev = tpus[0]
+    q = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 4096, 8, 72)) * 0.3, jnp.bfloat16), dev)
+    k = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 4096, 8, 72)) * 0.3, jnp.bfloat16), dev)
+    v = jax.device_put(jnp.asarray(
+        rng.standard_normal((1, 4096, 8, 72)) * 0.3, jnp.bfloat16), dev)
+    out = np.asarray(jax.jit(fa.flash_sdpa_bnhd)(q, k, v), np.float32)
+
+    def ref_fn(q, k, v):
+        return _xla_sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    ref = np.asarray(jax.jit(ref_fn)(q, k, v), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
 def test_online_kernel_tpu_parity(rng):
     """Compiled online-softmax kernel (key range beyond the one-pass cap)
     vs XLA on the real TPU."""

@@ -52,7 +52,7 @@ def test_cli_skips_cleanly_without_data(capsys):
     rc = golden_ap_check.main(["--config",
                                "/root/repo/configs/coco_fewshot_10shot_Sam2L.yaml",
                                "--strict"])
-    assert rc == 1
+    assert rc == 3  # env-not-provisioned, distinct from AP regression (1)
 
 
 def test_golden_ap_30shot():
