@@ -44,13 +44,16 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     if n <= 1:
         return 1, 0
     import jax
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
+        # already initialized (by the launcher or an earlier call) —
+        # idempotent re-entry. Checked via the client handle, NOT by
+        # catching jax's RuntimeError: the re-init error text ("must be
+        # called before any JAX calls") doesn't say "already".
+        return n, r
     coord = coordinator_address or os.environ.get("NTTT_COORDINATOR")
-    try:
-        jax.distributed.initialize(coordinator_address=coord,
-                                   num_processes=n, process_id=r)
-    except RuntimeError as e:  # already initialized — idempotent re-entry
-        if "already" not in str(e).lower():
-            raise
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=n, process_id=r)
     return n, r
 
 

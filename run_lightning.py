@@ -15,6 +15,7 @@ Usage (identical to the reference shell pipelines):
       --ckpt_path memory_post.ckpt [--export_result out.json]
 """
 import ast
+import os
 import sys
 
 import yaml
@@ -115,6 +116,13 @@ def main(argv=None):
         logger_cfg = logger_cfg["init_args"] or {}
     save_dir = (logger_cfg.get("save_dir")
                 or trainer_cfg.get("logger.save_dir") or ".")
+    # jax.distributed must initialize BEFORE the first backend touch (jax
+    # forbids it afterwards), and building the runner initializes weights on
+    # the backend — so the multi-process setup happens here, not in run().
+    # No-op without the NTTT_* env contract / for world size 1.
+    from no_time_to_train_tpu.parallel import multihost
+    if os.environ.get("NTTT_COORDINATOR"):
+        multihost.initialize()
     from no_time_to_train_tpu.runner import MatcherRunner
     runner = MatcherRunner(model_cfg, dataset_cfgs, data_load_cfgs,
                            test_mode=test_mode, seed=seed, devices=devices,

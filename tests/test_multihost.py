@@ -194,3 +194,62 @@ def test_cli_two_process_test_matches_single(tiny_cli_setup, monkeypatch):
     got = json.loads(merged.read_text())
     expect = json.loads(single.read_text())
     assert got == expect
+
+
+def test_cli_two_process_dp_composition(tiny_cli_setup, tmp_path):
+    """Full multihost+DP composition, 2 REAL OS processes: jax.distributed
+    (gloo) world of 8 CPU devices, each rank running its dataset shard with
+    trainer.devices=2 over its OWN 4 local devices. Guards the
+    jax.local_devices() mesh construction in _run_test_data_parallel —
+    with jax.distributed initialized, jax.devices() is the global list and
+    a mesh over another process's devices cannot execute. Rank 0's merged
+    export must equal the single-process run byte for byte."""
+    import os
+    import re
+    import subprocess
+    import run_lightning
+    setup_path, cfg_path, post = tiny_cli_setup
+
+    single = tmp_path / "single.json"
+    run_lightning.main(["test", "--config", cfg_path,
+                        "--model.test_mode", "test", "--ckpt_path", post,
+                        "--export_result", str(single)])
+
+    # devices=2 variant of the tiny config
+    cfg = yaml.safe_load(open(cfg_path).read())
+    cfg["trainer"]["devices"] = 2
+    cfg2 = tmp_path / "cfg_dp.yaml"
+    cfg2.write_text(yaml.safe_dump(cfg))
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # workers are CPU-only
+    env["NTTT_RUN_ID"] = "dp_compose_test"
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_dp_worker.py")
+    merged = tmp_path / "merged.json"
+    workdir = tmp_path / "run"
+    workdir.mkdir()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(r), "23473", str(workdir),
+         str(cfg2), post, str(merged)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for r in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, stdout.decode(), stderr.decode()))
+    for rc, stdout, stderr in outs:
+        assert rc == 0, f"worker failed:\n{stdout[-2000:]}\n{stderr[-3000:]}"
+
+    got = json.loads(merged.read_text())
+    expect = json.loads(single.read_text())
+    assert got == expect
