@@ -78,7 +78,10 @@ def export_step(fn, example_args, path):
     # the executable's own device footprint (usually the one default
     # device) — load must rehydrate onto the same device COUNT, not the
     # whole platform (8 virtual CPU devices in the test convention)
-    dev_ids = sorted({d.id for s in compiled.input_shardings[0]
+    # input_shardings[0] is a tuple of per-arg PYTREES (param dicts stay
+    # dicts); flatten to the sharding leaves before reading device sets
+    dev_ids = sorted({d.id
+                      for s in jax.tree.leaves(compiled.input_shardings[0])
                       for d in s.device_set}) or [0]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
