@@ -72,6 +72,19 @@ def process_shard_indices(n_items, num_processes, process_id):
     return idx[process_id::num_processes]
 
 
+def barrier(name, timeout_ms=600_000):
+    """Cross-process barrier via the jax.distributed kv-store (no-op when
+    jax.distributed is not initialized). Used to fence collective programs
+    behind compilation: processes can finish COMPILING a shard_map program
+    arbitrarily far apart (minutes on a shared host), while the collective
+    transport's rendezvous deadline is much shorter — compile first, then
+    barrier, then execute."""
+    from jax._src import distributed as _dist
+    client = _dist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def _part_path(gather_dir, process_id):
     return os.path.join(gather_dir, f"part_{process_id}.pkl")
 

@@ -168,7 +168,35 @@ class MatcherRunner:
             # banks both route through the mesh
             dp_fill = None
             bs = 8
-            if self.devices > 1 and len(jax.local_devices()) >= self.devices:
+            wrap = None
+            from no_time_to_train_tpu.parallel import multihost
+            n_proc, _ = multihost.env_world()
+            # cross-process fill: when a jax.distributed world exists (the
+            # CLI initialized it), mesh ALL global devices so the encoder
+            # forward shards 1/n_proc per process — the reference's DDP
+            # fill semantics (each rank encodes its share, concat_all_gather
+            # replicates the features, model_utils.py:74-91). Every process
+            # still loads the same batch from disk and donates only the
+            # rows its devices own (make_global_array).
+            global_fill = (n_proc > 1 and self.devices > 1
+                           and os.environ.get("NTTT_COORDINATOR"))
+            if global_fill:
+                from no_time_to_train_tpu.parallel.mesh import (
+                    make_mesh, make_data_parallel_fill, make_global_array)
+                # `devices` chips from EVERY process, in process order —
+                # jax.devices() lists process 0's chips first, so a plain
+                # [:devices * n_proc] slice would leave later processes
+                # with no addressable mesh devices at all
+                devs = [d for pi in range(n_proc)
+                        for d in [g for g in jax.devices()
+                                  if g.process_index == pi][:self.devices]]
+                mesh = make_mesh(devs)
+                dp_fill = make_data_parallel_fill(self.matcher, mesh,
+                                                  positive=positive)
+                bs = mesh.devices.size
+                wrap = lambda x: make_global_array(mesh, x)  # noqa: E731
+            elif (self.devices > 1
+                    and len(jax.local_devices()) >= self.devices):
                 from no_time_to_train_tpu.parallel.mesh import (
                     make_mesh, make_data_parallel_fill)
                 # local_devices: under jax.distributed each process meshes
@@ -191,11 +219,23 @@ class MatcherRunner:
                     n_valid = len(items)
                     while len(items) < bs:      # pad the tail batch; the
                         items.append(items[-1])  # gather drops it via n_valid
-                    dp_fill(np.asarray([it["cat_ind"] for it in items],
-                                       np.int32),
-                            np.stack([it["img"] for it in items]),
-                            np.stack([it["mask"] for it in items]),
-                            n_valid=n_valid)
+                    cats = np.asarray([it["cat_ind"] for it in items],
+                                      np.int32)
+                    imgs = np.stack([it["img"] for it in items])
+                    msks = np.stack([it["mask"] for it in items])
+                    if wrap is not None:
+                        cats, imgs, msks = wrap(cats), wrap(imgs), wrap(msks)
+                        if bi == 0:
+                            # compile-skew fence: finish compiling the
+                            # collective program in every process before the
+                            # first cross-process execution (the transport's
+                            # rendezvous deadline is shorter than a compile)
+                            dp_fill.jfn.lower(self.matcher.dino_params,
+                                              cats, imgs, msks).compile()
+                            # name keyed by mode (deterministic + identical
+                            # across processes; pos/neg fills barrier apart)
+                            multihost.barrier(f"nttt_fill_compiled_{mode}")
+                    dp_fill(cats, imgs, msks, n_valid=n_valid)
                 else:
                     self.matcher.fill_memory(
                         np.stack([it["img"] for it in items]),

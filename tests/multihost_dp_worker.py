@@ -2,13 +2,18 @@
 (tests/test_multihost.py::test_cli_two_process_dp_composition).
 
 Each of two OS processes owns 4 local CPU devices inside an 8-device
-jax.distributed world (gloo), then runs the CLI test phase with
-trainer.devices=2 — so `_run_test_data_parallel` must mesh over
-jax.local_devices() (jax.devices() is the GLOBAL list here, and a
-shard_map mesh over another process's devices cannot execute). Results
-publish through the shared-filesystem gather; rank 0 merges + exports.
+jax.distributed world (gloo), then runs the FULL CLI pipeline with
+trainer.devices=2:
 
-Usage: python multihost_dp_worker.py <rank> <port> <workdir> <cfg> <ckpt>
+  - fill_memory: a GLOBAL 4-device mesh (2 devices x 2 processes) — the
+    encoder forward shards across processes with a cross-process
+    all_gather, the reference's DDP fill semantics;
+  - postprocess_memory: identical local compute per process;
+  - test: per-process DP over jax.local_devices() (jax.devices() is the
+    GLOBAL list here, and a shard_map mesh over another process's devices
+    cannot execute) + shared-filesystem gather; rank 0 merges + exports.
+
+Usage: python multihost_dp_worker.py <rank> <port> <workdir> <cfg>
        <merged_json>
 """
 import os
@@ -16,7 +21,7 @@ import sys
 
 
 def main():
-    rank, port, workdir, cfg_path, post, merged = sys.argv[1:7]
+    rank, port, workdir, cfg_path, merged = sys.argv[1:6]
     import jax
     # 4 local CPU devices per process (the parent strips the
     # xla_force_host_platform_device_count flag from XLA_FLAGS)
@@ -54,9 +59,22 @@ def main():
         "dino_tiny_test", presets.EncoderConfig("dino_tiny_test", 28, 14, 32,
                                                 1, 2, "local"))
     import run_lightning
+    mem = os.path.join(workdir, f"m_rank{rank}.ckpt")
+    post = os.path.join(workdir, f"p_rank{rank}.ckpt")
+    run_lightning.main(["test", "--config", cfg_path,
+                        "--model.test_mode", "fill_memory",
+                        "--out_path", mem])
+    run_lightning.main(["test", "--config", cfg_path,
+                        "--model.test_mode", "postprocess_memory",
+                        "--ckpt_path", mem, "--out_path", post])
     run_lightning.main(["test", "--config", cfg_path,
                         "--model.test_mode", "test", "--ckpt_path", post,
                         "--export_result", merged])
+    # exit in lockstep: rank 1 publishes and returns while rank 0 merges +
+    # evaluates; on this 1-core host the skew can exceed jax.distributed's
+    # shutdown-barrier deadline, killing the still-working rank
+    from no_time_to_train_tpu.parallel import multihost
+    multihost.barrier("nttt_worker_done")
 
 
 if __name__ == "__main__":

@@ -197,13 +197,16 @@ def test_cli_two_process_test_matches_single(tiny_cli_setup, monkeypatch):
 
 
 def test_cli_two_process_dp_composition(tiny_cli_setup, tmp_path):
-    """Full multihost+DP composition, 2 REAL OS processes: jax.distributed
-    (gloo) world of 8 CPU devices, each rank running its dataset shard with
-    trainer.devices=2 over its OWN 4 local devices. Guards the
+    """Full multihost+DP composition, 2 REAL OS processes running the WHOLE
+    CLI pipeline inside one jax.distributed (gloo) world of 8 CPU devices:
+    fill_memory on a GLOBAL 4-device mesh (cross-process all_gather, the
+    reference's DDP fill), postprocess, then the test phase with
+    trainer.devices=2 over each rank's OWN 4 local devices (guards the
     jax.local_devices() mesh construction in _run_test_data_parallel —
     with jax.distributed initialized, jax.devices() is the global list and
-    a mesh over another process's devices cannot execute. Rank 0's merged
-    export must equal the single-process run byte for byte."""
+    a mesh over another process's devices cannot execute). Both ranks'
+    memory-bank ckpts and rank 0's merged export must equal the
+    single-process run byte for byte."""
     import os
     import re
     import subprocess
@@ -235,7 +238,7 @@ def test_cli_two_process_dp_composition(tiny_cli_setup, tmp_path):
     workdir.mkdir()
     procs = [subprocess.Popen(
         [sys.executable, worker, str(r), "23473", str(workdir),
-         str(cfg2), post, str(merged)],
+         str(cfg2), str(merged)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for r in range(2)]
     outs = []
@@ -253,3 +256,19 @@ def test_cli_two_process_dp_composition(tiny_cli_setup, tmp_path):
     got = json.loads(merged.read_text())
     expect = json.loads(single.read_text())
     assert got == expect
+
+    # the global-mesh fill must produce the same bank in every process as
+    # the single-process fill (m.ckpt / p.ckpt from the fixture); compare
+    # tensor contents (the torch zip container embeds names/offsets that
+    # differ run to run)
+    import torch
+    for rank in range(2):
+        for name, ref in (("m_rank%d.ckpt" % rank, setup_path / "m.ckpt"),
+                          ("p_rank%d.ckpt" % rank, setup_path / "p.ckpt")):
+            got = torch.load(str(workdir / name), weights_only=True)
+            exp = torch.load(str(ref), weights_only=True)
+            assert got["state_dict"].keys() == exp["state_dict"].keys()
+            for k in exp["state_dict"]:
+                np.testing.assert_array_equal(
+                    got["state_dict"][k].numpy(),
+                    exp["state_dict"][k].numpy(), err_msg=f"{name}:{k}")
