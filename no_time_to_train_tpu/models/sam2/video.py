@@ -77,10 +77,21 @@ class SAM2VideoPredictor:
         self._jit_encode = jax.jit(self._encode_impl,
                                    static_argnames=("is_pts",))
         self._jit_mask_as_output = jax.jit(self._mask_as_output_impl)
+        self._jit_track_fused = jax.jit(
+            self._track_fused_impl,
+            static_argnames=("multimask", "fill_area"))
+        # cached device constants for the on-device memory assembly
+        self._zero_tok = None
+        self._tpos_host = None
+        self._zero_ptr = None
 
     # ------------------------------------------------------------ device fns
     def _features_impl(self, params, img):
-        out = self.model.apply({"params": params}, img[None],
+        # normalize on device (the video frames live device-resident; a host
+        # normalize would force a 12 MB D2H+H2D round trip per frame)
+        from no_time_to_train_tpu.models.matching.pipeline import _normalize
+        out = self.model.apply({"params": params},
+                               _normalize(img.astype(jnp.float32))[None],
                                method=self.model.forward_image)
         return out["backbone_fpn"], out["vision_pos_enc"]
 
@@ -126,14 +137,78 @@ class SAM2VideoPredictor:
         hr = [fpn[0], fpn[1]] if self.cfg.use_high_res_features_in_sam else None
         return self._heads(params, pix, None, None, None, hr, multimask)
 
+    def _track_fused_impl(self, params, fpn, pos_enc, mem_rows, pos_rows,
+                          tpos_rows, valid, ptr_rows, ptr_valid, multimask,
+                          fill_area):
+        """The WHOLE per-tracked-frame device chain in one traced program:
+        fixed-layout memory assembly (stack + temporal-pos add + flatten),
+        memory-conditioned heads, non-overlap constraint, memory encoding of
+        the predicted masks, and the yielded-mask hole filling. One jit
+        dispatch per frame instead of ~20 eager ops + 4 jit calls — over a
+        remote-TPU link the per-dispatch turnaround dominated the loop
+        (device time ~37 ms/frame vs ~200 ms wall before this fold).
+
+        mem_rows/pos_rows/ptr_rows: per-object tuples of per-slot device
+        arrays (stored by earlier frames); tpos_rows [b, R, mem_dim];
+        valid [b, R] / ptr_valid [b, P] bool."""
+        c = self.cfg
+        b = len(mem_rows)
+        n_tok, mem_dim = self._n_feat, c.mem_dim
+        f32 = jnp.float32
+
+        def rows_to_stack(rows):
+            return jnp.stack([
+                jnp.stack([jnp.reshape(r, (n_tok, mem_dim)).astype(f32)
+                           for r in obj]) for obj in rows])
+        mem = rows_to_stack(mem_rows)                      # [b, R, n, d]
+        pos = rows_to_stack(pos_rows) + tpos_rows[:, :, None, :]
+        pos = jnp.where(valid[:, :, None, None], pos, 0.0)
+        mem = jnp.where(valid[:, :, None, None], mem, 0.0)
+
+        optrs = jnp.stack([jnp.stack([p.astype(f32) for p in obj])
+                           for obj in ptr_rows])           # [b, P, ptr_dim]
+        split = c.hidden_dim // mem_dim
+        ptr_tokens = optrs.reshape(b, -1, split, mem_dim).reshape(
+            b, -1, mem_dim)
+        ptr_tokens = jnp.where(
+            jnp.repeat(ptr_valid, split, axis=1)[:, :, None], ptr_tokens, 0.0)
+
+        memory = jnp.concatenate([mem.reshape(b, -1, mem_dim), ptr_tokens],
+                                 axis=1)
+        memory_pos = jnp.concatenate(
+            [pos.reshape(b, -1, mem_dim), jnp.zeros_like(ptr_tokens)], axis=1)
+        memory_valid = jnp.concatenate(
+            [jnp.repeat(valid, n_tok, axis=1),
+             jnp.repeat(ptr_valid, split, axis=1)], axis=1)
+
+        lr, hr, ious, obj_ptr, obj_logits = self._track_impl(
+            params, fpn, pos_enc, memory, memory_pos, memory_valid,
+            multimask)
+
+        hr_for_mem = hr[:, 0]
+        if c.non_overlap_masks_for_mem_enc and b > 1:
+            hr_for_mem = apply_non_overlapping_constraints(hr_for_mem)
+        mem_feat, mem_pos = self._encode_impl(params, fpn, hr_for_mem,
+                                              is_pts=False)
+        filled = (fill_holes_in_mask_scores(lr[:, 0], fill_area)
+                  if fill_area > 0 else lr[:, 0])
+        # f32 obj_ptr: same stable-signature rule as the memory slots
+        return lr, obj_ptr.astype(jnp.float32), mem_feat, mem_pos, filled
+
     def _encode_impl(self, params, fpn, high_res_masks, is_pts):
         b = high_res_masks.shape[0]
         feats = fpn[-1]
         pix = jnp.broadcast_to(
             feats, (b,) + feats.shape[1:])
-        return self.model.apply(
+        mem, pos = self.model.apply(
             {"params": params}, pix, high_res_masks[..., None], is_pts,
             method=self.model.encode_memory)
+        # normalized storage form [b, n_tok, mem_dim] f32: every memory slot
+        # array the host stores must have ONE shape/dtype, or the fused
+        # track jit retraces whenever the slot fill pattern changes
+        shape = (b, self._n_feat, self.cfg.mem_dim)
+        return (mem.reshape(shape).astype(jnp.float32),
+                pos.reshape(shape).astype(jnp.float32))
 
     def _mask_as_output_impl(self, params, fpn, mask_inputs):
         """use_mask_input_as_output_without_sam (sam2_base.py:457-507)."""
@@ -162,13 +237,17 @@ class SAM2VideoPredictor:
         return lr, hr, obj_ptr, obj_score_logits
 
     # ------------------------------------------------------------- host API
-    def init_state(self, images):
+    def init_state(self, images, store_on_device=True):
         """images: [T, H, W, 3] float in [0,1] (already square-resized to
-        cfg.image_size by the loader)."""
-        images = np.asarray(images)
+        cfg.image_size by the loader). With store_on_device (default) the
+        whole clip uploads ONCE and per-frame feature extraction slices it
+        device-side — the per-frame host upload was the video loop's
+        dominant cost over a remote-TPU link (the reference's inverse knob
+        is offload_video_to_cpu, sam2_video_predictor.py)."""
+        images = np.asarray(images, np.float32)
         assert images.shape[1] == images.shape[2] == self.cfg.image_size
         state = {
-            "images": images,
+            "images": jax.device_put(images) if store_on_device else images,
             "num_frames": len(images),
             "point_inputs_per_obj": {},
             "mask_inputs_per_obj": {},
@@ -181,8 +260,9 @@ class SAM2VideoPredictor:
 
     def _get_features(self, state, frame_idx):
         if frame_idx not in state["feat_cache"]:
-            from no_time_to_train_tpu.models.matching.pipeline import _normalize
-            img = jnp.asarray(_normalize(state["images"][frame_idx]))
+            img = state["images"][frame_idx]   # device slice (no host copy)
+            if isinstance(img, np.ndarray):
+                img = jnp.asarray(img)
             state["feat_cache"] = {
                 frame_idx: self._jit_features(self.params, img)}
         return state["feat_cache"][frame_idx]
@@ -240,7 +320,7 @@ class SAM2VideoPredictor:
             if out is None:
                 continue
             obj_ids.append(obj_id)
-            masks.append(out["pred_masks"])
+            masks.append(np.asarray(out["pred_masks"]))
         return frame_idx, obj_ids, (np.concatenate(masks)
                                     if masks else np.zeros((0, 1, 1)))
 
@@ -274,9 +354,13 @@ class SAM2VideoPredictor:
             lr, hr, ious, obj_ptr, obj_logits = self._jit_cond(
                 self.params, fpn, coords, labels, mask_in,
                 multimask=multimask, has_points=has_points)
-        out = {"pred_masks": np.asarray(lr[:, 0]),
+        # device-resident outputs: pred_masks stays a lazy device array
+        # (the tracking loop re-reads it only for cond frames; callers that
+        # need numpy np.asarray at the edge)
+        out = {"pred_masks": lr[:, 0],
                "pred_masks_high_res": hr[:, 0],
-               "obj_ptr": obj_ptr[0]}
+               # f32: ptr slots must all share one dtype (see _encode_impl)
+               "obj_ptr": obj_ptr[0].astype(jnp.float32)}
         if run_mem and c.num_maskmem > 0:
             mem_feat, mem_pos = self._jit_encode(
                 self.params, fpn, hr[:, 0], is_pts=(pts is not None))
@@ -312,28 +396,43 @@ class SAM2VideoPredictor:
             out = outs["non_cond"].get(prev_idx, unsel_cond.get(prev_idx))
             entries.append((t_pos, out))
 
-        mem = np.zeros((slots + len(sel_cond), n_tok, mem_dim), np.float32)
-        pos = np.zeros_like(mem)
-        valid = np.zeros((mem.shape[0],), bool)
+        # Fixed layout, fully device-resident: every slot's maskmem
+        # features / pos enc stayed on device where the encode step produced
+        # them — a host-numpy assembly here would fetch ~2 MB per slot per
+        # frame and re-upload the stack (~25 MB/frame of D2H+H2D over a
+        # remote-TPU link, formerly the tracking loop's dominant cost).
+        # Rows are handed RAW to the fused track jit (stack/reshape/
+        # temporal-pos add happen in-program); host builds only the tiny
+        # validity flags and the temporal-pos row table.
+        n_rows = slots + len(sel_cond)
+        if self._zero_tok is None or self._zero_tok.shape != (n_tok, mem_dim):
+            self._zero_tok = jnp.zeros((n_tok, mem_dim), jnp.float32)
+            self._tpos_host = np.asarray(
+                self.params["maskmem_tpos_enc"], np.float32).reshape(
+                c.num_maskmem, mem_dim)
+        zero = self._zero_tok
+        valid = np.zeros((n_rows,), bool)
+        tpos_rows = np.zeros((n_rows, mem_dim), np.float32)
+        mem_rows, pos_rows = [], []
         # fixed layout: first len(entries) rows in order (cond first)
-        tpos_table = np.asarray(self.params["maskmem_tpos_enc"], np.float32)
-        row = 0
-        for t_pos, out in entries:
+        for row, (t_pos, out) in enumerate(entries):
             if out is None or "maskmem_features" not in out:
-                row += 1
+                mem_rows.append(zero)
+                pos_rows.append(zero)
                 continue
-            mem[row] = np.asarray(out["maskmem_features"], np.float32
-                                  ).reshape(n_tok, mem_dim)
-            p = np.asarray(out["maskmem_pos_enc"], np.float32
-                           ).reshape(n_tok, mem_dim)
-            pos[row] = p + tpos_table[c.num_maskmem - t_pos - 1]
+            mem_rows.append(out["maskmem_features"])
+            pos_rows.append(out["maskmem_pos_enc"])
+            tpos_rows[row] = self._tpos_host[c.num_maskmem - t_pos - 1]
             valid[row] = True
-            row += 1
+        mem_rows += [zero] * (n_rows - len(entries))
+        pos_rows += [zero] * (n_rows - len(entries))
 
-        # object pointers
+        # object pointers (device rows + host validity, same scheme)
         n_ptr = c.max_obj_ptrs_in_encoder
         ptr_dim = c.hidden_dim
-        ptrs = np.zeros((n_ptr, ptr_dim), np.float32)
+        if self._zero_ptr is None or self._zero_ptr.shape != (ptr_dim,):
+            self._zero_ptr = jnp.zeros((ptr_dim,), jnp.float32)
+        ptr_rows = []
         ptr_valid = np.zeros((n_ptr,), bool)
         if c.use_obj_ptrs_in_encoder:
             pool = {t: o for t, o in sel_cond.items()
@@ -350,66 +449,42 @@ class SAM2VideoPredictor:
                 if out is not None:
                     pos_and_ptrs.append((t_diff, out["obj_ptr"]))
             for j, (_, p) in enumerate(pos_and_ptrs[:n_ptr]):
-                ptrs[j] = np.asarray(p, np.float32)
+                ptr_rows.append(p)
                 ptr_valid[j] = True
-        return mem, pos, valid, ptrs, ptr_valid
+        ptr_rows += [self._zero_ptr] * (n_ptr - len(ptr_rows))
+        return mem_rows, pos_rows, tpos_rows, valid, ptr_rows, ptr_valid
 
     def _track_frame(self, state, frame_idx, reverse=False):
         c = self.cfg
         fpn, pos_enc = self._get_features(state, frame_idx)
         n_obj = len(state["obj_id_to_idx"])
-        mems, poss, valids, ptrs, ptr_valids = [], [], [], [], []
-        cond_rows = None
+        mems, poss, tposs, valids, ptrs, ptr_valids = [], [], [], [], [], []
         for idx in range(n_obj):
-            m, p, v, pt, pv = self._build_memory(state, frame_idx, idx,
-                                                 reverse)
-            if cond_rows is None:
-                cond_rows = m.shape[0]
-            mems.append(m); poss.append(p); valids.append(v)
-            ptrs.append(pt); ptr_valids.append(pv)
-        mem = np.stack(mems)
-        pos = np.stack(poss)
-        valid = np.stack(valids)
-        optrs = np.stack(ptrs)
-        optr_valid = np.stack(ptr_valids)
-
-        # flatten: spatial tokens then ptr tokens (split 256-d ptr into 4x64)
-        b = n_obj
-        n_tok = self._n_feat
-        mem_flat = mem.reshape(b, -1, c.mem_dim)
-        pos_flat = pos.reshape(b, -1, c.mem_dim)
-        tok_valid = np.repeat(valid, n_tok, axis=1)
-        split = c.hidden_dim // c.mem_dim
-        ptr_tokens = optrs.reshape(b, -1, split, c.mem_dim).reshape(
-            b, -1, c.mem_dim)
-        ptr_tok_pos = np.zeros_like(ptr_tokens)
-        ptr_tok_valid = np.repeat(optr_valid, split, axis=1)
-
-        memory = jnp.asarray(np.concatenate([mem_flat, ptr_tokens], axis=1))
-        memory_pos = jnp.asarray(np.concatenate([pos_flat, ptr_tok_pos],
-                                                axis=1))
-        memory_valid = jnp.asarray(np.concatenate([tok_valid, ptr_tok_valid],
-                                                  axis=1))
+            m, p, tp, v, pt, pv = self._build_memory(state, frame_idx, idx,
+                                                     reverse)
+            mems.append(tuple(m)); poss.append(tuple(p)); tposs.append(tp)
+            valids.append(v)
+            ptrs.append(tuple(pt)); ptr_valids.append(pv)
 
         multimask = c.multimask_output_in_sam and c.multimask_output_for_tracking \
             and (c.multimask_min_pt_num <= 0 <= c.multimask_max_pt_num)
-        lr, hr, ious, obj_ptr, obj_logits = self._jit_track(
-            self.params, fpn, pos_enc, memory, memory_pos, memory_valid,
-            multimask=multimask)
+        lr, obj_ptr, mem_feat, mem_pos, filled = self._jit_track_fused(
+            self.params, fpn, pos_enc, tuple(mems), tuple(poss),
+            jnp.asarray(np.stack(tposs)), jnp.asarray(np.stack(valids)),
+            tuple(ptrs), jnp.asarray(np.stack(ptr_valids)),
+            multimask=multimask, fill_area=c.fill_hole_area)
 
-        hr_for_mem = hr[:, 0]
-        if self.cfg.non_overlap_masks_for_mem_enc and n_obj > 1:
-            hr_for_mem = apply_non_overlapping_constraints(hr_for_mem)
-        mem_feat, mem_pos = self._jit_encode(self.params, fpn, hr_for_mem,
-                                             is_pts=False)
         for idx in range(n_obj):
             state["output_dict_per_obj"][idx]["non_cond"][frame_idx] = {
-                "pred_masks": np.asarray(lr[idx]),
+                "pred_masks": lr[idx],
                 "obj_ptr": obj_ptr[idx],
                 "maskmem_features": mem_feat[idx],
                 "maskmem_pos_enc": mem_pos[idx],
             }
-        return np.asarray(lr)
+        # device array (hole filling already applied in-program); the
+        # CONSUMER decides when to fetch (np.asarray), so the whole
+        # propagation pipeline dispatches asynchronously
+        return filled
 
     def propagate_in_video_preflight(self, state):
         """Encode memories for all prompted (conditioning) frames
@@ -442,20 +517,23 @@ class SAM2VideoPredictor:
             end = min(start_frame_idx + max_frame_num_to_track,
                       state["num_frames"] - 1)
             rng = range(start_frame_idx, end + 1)
+        hw = self.cfg.image_size // 4
         for t in rng:
             if t in cond_frames:
-                masks = np.stack([
-                    np.asarray(state["output_dict_per_obj"][i]["cond"][t]
-                               ["pred_masks"]).reshape(
-                        self.cfg.image_size // 4, self.cfg.image_size // 4)
+                masks = jnp.stack([
+                    jnp.reshape(state["output_dict_per_obj"][i]["cond"][t]
+                                ["pred_masks"], (hw, hw))
                     if t in state["output_dict_per_obj"][i]["cond"] else
-                    np.full((self.cfg.image_size // 4,
-                             self.cfg.image_size // 4), NO_OBJ_SCORE,
-                            np.float32)
+                    jnp.full((hw, hw), NO_OBJ_SCORE, jnp.float32)
                     for i in range(len(obj_ids))])
+                if self.cfg.fill_hole_area > 0:
+                    masks = fill_holes_in_mask_scores(
+                        masks, self.cfg.fill_hole_area)
             else:
-                masks = self._track_frame(state, t, reverse)[:, 0]
-            if self.cfg.fill_hole_area > 0:
-                masks = np.asarray(fill_holes_in_mask_scores(
-                    jnp.asarray(masks), self.cfg.fill_hole_area))
+                # [b, H, W], hole filling already applied inside the fused
+                # track program
+                masks = self._track_frame(state, t, reverse)
+            # device array (np.asarray-compatible): fetching here would
+            # fence every frame on the submit->fetch round trip; streaming
+            # consumers overlap the fetch with the next frame instead
             yield t, obj_ids, masks

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Video-propagation throughput of the SAM2 video predictor on the
+available accelerator (SAM2-L @ 1024^2, 1 object, point prompt on frame 0).
+
+The reference's video observability lives in the SAM3 comparison harness
+(scripts/run_nttt_eval.sh:26-60 polls FPS + GPU memory around
+sam2_video_predictor propagation); this is the equivalent standalone
+number for the TPU port: steady-state ms/frame of `propagate_in_video`
+after the jit warmup frame, prompt + warmup excluded, host mask fetch
+included (the propagation generator yields numpy masks, exactly what a
+consumer sees).
+
+Usage: python tools/bench_video.py [--frames 12] [--size 1024] [--objs 1]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--objs", type=int, default=1)
+    ap.add_argument("--config", default="sam2_hiera_l.yaml")
+    args = ap.parse_args()
+
+    from no_time_to_train_tpu.utils.cache import (enable_compilation_cache,
+                                                  init_backend_bounded)
+    enable_compilation_cache()
+    init_backend_bounded(what="bench_video jax backend init")
+    import jax
+    import dataclasses
+
+    from no_time_to_train_tpu.config.presets import SAM2_PRESETS
+    from no_time_to_train_tpu.models.matching.pipeline import (
+        _random_params_like)
+    from no_time_to_train_tpu.models.sam2.model import SAM2
+    from no_time_to_train_tpu.models.sam2.video import SAM2VideoPredictor
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    cfg = dataclasses.replace(SAM2_PRESETS[args.config],
+                              image_size=args.size)
+    model = SAM2(cfg, dtype=dtype)
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(0)
+    params = _random_params_like(
+        lambda k: model.init(k, jnp.zeros((1, args.size, args.size, 3)),
+                             method=model.init_everything),
+        key, 0, cache_tag=("sam2", repr(cfg)))
+    # host-side compute-dtype cast + one device_put (the pipeline's
+    # convention: bf16 params feed bf16 MXU GEMMs and halve the upload)
+    if dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda a: (np.asarray(a).astype(np.dtype(dtype))
+                       if jnp.issubdtype(np.asarray(a).dtype, jnp.floating)
+                       else np.asarray(a)), params)
+    params = jax.device_put(params)
+    pred = SAM2VideoPredictor(model, params)
+    init_s = time.time() - t0
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((args.frames, args.size, args.size, 3),
+                        np.float32)
+    # a moving bright square so masks are non-degenerate
+    for t in range(args.frames):
+        x0 = (args.size // 8 + 9 * t) % (args.size - args.size // 4)
+        frames[t, args.size // 4:args.size // 2,
+               x0:x0 + args.size // 4] = 0.9
+
+    t0 = time.time()
+    state = pred.init_state(frames)
+    for j in range(args.objs):
+        y = args.size * 3 // 8 + 7 * j
+        pred.add_new_points_or_box(
+            state, 0, j + 1,
+            points=np.array([[args.size // 4, y]], np.float32),
+            labels=np.array([1], np.int32))
+    prompt_s = time.time() - t0
+
+    # first propagation pass: compiles the track/encode steps. The masks
+    # come back as device arrays; stream 1-deep like a real consumer —
+    # fetch frame t-1 while frame t computes (the propagation itself is
+    # sequentially dependent, so this hides only the D2H leg)
+    times = []
+    pend = None
+    t0 = time.time()
+    for fidx, obj_ids, masks in pred.propagate_in_video(state):
+        if pend is not None:
+            np.asarray(pend)
+        pend = masks
+        times.append(time.time() - t0)
+        t0 = time.time()
+    if pend is not None:
+        np.asarray(pend)
+    compile_s = times[1] if len(times) > 1 else float("nan")
+
+    # steady state: skip the prompt frame (cached) + the compile frame
+    steady = times[2:]
+    ms = 1000.0 * float(np.mean(steady)) if steady else float("nan")
+    fps = 1000.0 / ms if steady else float("nan")
+    print(f"# init {init_s:.1f}s, prompt(+compile) {prompt_s:.1f}s, "
+          f"first tracked frame (compile) {compile_s:.1f}s, "
+          f"steady {ms:.0f} ms/frame = {fps:.2f} frames/s "
+          f"({args.objs} obj, {args.size}px, {len(steady)} frames timed, "
+          f"backend={jax.default_backend()})", file=sys.stderr)
+    import json
+    print(json.dumps({"metric": f"video propagation ({args.config}, "
+                                f"{args.objs} obj, {args.size}px)",
+                      "value": round(fps, 3), "unit": "frames/s"}))
+
+
+if __name__ == "__main__":
+    main()
