@@ -72,8 +72,6 @@ class SAM2VideoPredictor:
         self._jit_features = jax.jit(self._features_impl)
         self._jit_cond = jax.jit(self._cond_impl,
                                  static_argnames=("multimask", "has_points"))
-        self._jit_track = jax.jit(self._track_impl,
-                                  static_argnames=("multimask",))
         self._jit_encode = jax.jit(self._encode_impl,
                                    static_argnames=("is_pts",))
         self._jit_mask_as_output = jax.jit(self._mask_as_output_impl)
@@ -84,6 +82,17 @@ class SAM2VideoPredictor:
         self._zero_tok = None
         self._tpos_host = None
         self._zero_ptr = None
+        # Tracked-frame outputs live on DEVICE (the perf design); without
+        # eviction a long video accumulates ~2 MB of HBM per frame per
+        # object. Entries farther than this many frames from the one being
+        # tracked can never be selected again (maskmem lookback is
+        # (num_maskmem-2)*stride+2, obj-ptr lookback max_obj_ptrs), so
+        # they are pruned. Set history_window=0 on the instance to keep
+        # everything (the reference's offload_state_to_cpu=False analogue).
+        r = max(c.memory_temporal_stride_for_eval, 1)
+        self.history_window = max((c.num_maskmem - 2) * r + 2,
+                                  c.max_obj_ptrs_in_encoder, c.num_maskmem
+                                  ) + 1
 
     # ------------------------------------------------------------ device fns
     def _features_impl(self, params, img):
@@ -475,12 +484,19 @@ class SAM2VideoPredictor:
             multimask=multimask, fill_area=c.fill_hole_area)
 
         for idx in range(n_obj):
-            state["output_dict_per_obj"][idx]["non_cond"][frame_idx] = {
+            nc = state["output_dict_per_obj"][idx]["non_cond"]
+            nc[frame_idx] = {
                 "pred_masks": lr[idx],
                 "obj_ptr": obj_ptr[idx],
                 "maskmem_features": mem_feat[idx],
                 "maskmem_pos_enc": mem_pos[idx],
             }
+            if self.history_window:
+                # evict device-resident memories no future frame can select
+                # (distance-symmetric, so reverse passes stay correct)
+                for t in [t for t in nc
+                          if abs(t - frame_idx) > self.history_window]:
+                    del nc[t]
         # device array (hole filling already applied in-program); the
         # CONSUMER decides when to fetch (np.asarray), so the whole
         # propagation pipeline dispatches asynchronously

@@ -6,9 +6,10 @@ The reference's video observability lives in the SAM3 comparison harness
 (scripts/run_nttt_eval.sh:26-60 polls FPS + GPU memory around
 sam2_video_predictor propagation); this is the equivalent standalone
 number for the TPU port: steady-state ms/frame of `propagate_in_video`
-after the jit warmup frame, prompt + warmup excluded, host mask fetch
-included (the propagation generator yields numpy masks, exactly what a
-consumer sees).
+after the jit warmup frame, prompt + warmup excluded. The generator
+yields lazy DEVICE arrays (like the reference yielding GPU tensors), so
+the bench streams 1-deep — fetching frame t-1 (np.asarray) while frame t
+computes — which is how a real consumer should drain it.
 
 Usage: python tools/bench_video.py [--frames 12] [--size 1024] [--objs 1]
 """
@@ -24,11 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--frames", type=int, default=12)  # >= 3 (2 warmup)
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--objs", type=int, default=1)
     ap.add_argument("--config", default="sam2_hiera_l.yaml")
     args = ap.parse_args()
+    if args.frames < 3:
+        ap.error("--frames must be >= 3 (the first two frames are prompt "
+                 "and compile warmup; steady-state needs at least one more)")
 
     from no_time_to_train_tpu.utils.cache import (enable_compilation_cache,
                                                   init_backend_bounded)
