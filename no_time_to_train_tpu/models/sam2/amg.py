@@ -188,16 +188,25 @@ class SAM2AutomaticMaskGenerator:
             idxs = np.nonzero(keep_np)[0]
             if len(idxs) == 0:
                 continue
-            lr = np.asarray(masks[jnp.asarray(idxs)])
             ious_np = np.asarray(ious)[idxs]
             stab_np = np.asarray(stab)[idxs]
             s = self.model.cfg.image_size
             m = 3 if self.multimask_output else 1
             pts_img = np.asarray(pts01)[(idxs // m) % n_pts]
+            # upscale + threshold ON DEVICE in chunks, fetch packed bools:
+            # the previous per-mask loop re-uploaded each low-res mask and
+            # fetched a full-res f32 mask per candidate (~K round trips +
+            # 4 MB f32 each through the remote-TPU tunnel); this is K/64
+            # dispatch chains and 1-byte pixels
+            seg_chunks = []
+            for c0 in range(0, len(idxs), 64):
+                sub = jnp.asarray(idxs[c0:c0 + 64])
+                seg = resize_hw(masks[sub], (ch, cw),
+                                mode="bilinear") > self.mask_threshold
+                seg_chunks.append(np.asarray(seg))
+            seg_all = np.concatenate(seg_chunks)
             for j in range(len(idxs)):
-                up = np.asarray(resize_hw(jnp.asarray(lr[j]), (ch, cw),
-                                          mode="bilinear"))
-                seg = up > self.mask_threshold
+                seg = seg_all[j]
                 full = np.zeros((oh, ow), bool)
                 full[y0:y1, x0:x1] = seg
                 ys, xs = np.nonzero(full)
