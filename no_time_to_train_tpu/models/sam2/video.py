@@ -78,6 +78,13 @@ class SAM2VideoPredictor:
         self._jit_track_fused = jax.jit(
             self._track_fused_impl,
             static_argnames=("multimask", "fill_area"))
+        self._jit_scan = jax.jit(
+            self._scan_impl,
+            static_argnames=("multimask", "fill_area", "reverse"))
+        self._jit_unstack = jax.jit(self._unstack_impl)
+        # Chunked-scan tracking: frames per device dispatch inside
+        # propagate_in_video (see _scan_plan). 0 disables (pure per-frame).
+        self.scan_chunk = 8
         # cached device constants for the on-device memory assembly
         self._zero_tok = None
         self._tpos_host = None
@@ -93,6 +100,9 @@ class SAM2VideoPredictor:
         self.history_window = max((c.num_maskmem - 2) * r + 2,
                                   c.max_obj_ptrs_in_encoder, c.num_maskmem
                                   ) + 1
+        # maskmem ring window for the chunked scan: strictly larger than the
+        # maximum strided lookback/lookahead ((num_maskmem-2)*r + 1)
+        self._ring_W = max((c.num_maskmem - 2) * r + 2, 2)
 
     # ------------------------------------------------------------ device fns
     def _features_impl(self, params, img):
@@ -146,6 +156,53 @@ class SAM2VideoPredictor:
         hr = [fpn[0], fpn[1]] if self.cfg.use_high_res_features_in_sam else None
         return self._heads(params, pix, None, None, None, hr, multimask)
 
+    def _assemble_memory(self, mem, pos, tpos_rows, valid, optrs, ptr_valid):
+        """Flatten fixed-layout memory stacks into the attention operands
+        (reference sam2_base.py:563-713 concatenation, padded+masked here).
+
+        mem/pos: [b, R, n_tok, mem_dim] f32; tpos_rows [b or 1, R, mem_dim];
+        valid [b, R] bool; optrs [b, P, ptr_dim]; ptr_valid [b, P] bool."""
+        c = self.cfg
+        b, mem_dim = mem.shape[0], c.mem_dim
+        pos = pos + tpos_rows[:, :, None, :]
+        pos = jnp.where(valid[:, :, None, None], pos, 0.0)
+        mem = jnp.where(valid[:, :, None, None], mem, 0.0)
+
+        split = c.hidden_dim // mem_dim
+        ptr_tokens = optrs.reshape(b, -1, split, mem_dim).reshape(
+            b, -1, mem_dim)
+        ptr_tokens = jnp.where(
+            jnp.repeat(ptr_valid, split, axis=1)[:, :, None], ptr_tokens, 0.0)
+
+        memory = jnp.concatenate([mem.reshape(b, -1, mem_dim), ptr_tokens],
+                                 axis=1)
+        memory_pos = jnp.concatenate(
+            [pos.reshape(b, -1, mem_dim), jnp.zeros_like(ptr_tokens)], axis=1)
+        memory_valid = jnp.concatenate(
+            [jnp.repeat(valid, self._n_feat, axis=1),
+             jnp.repeat(ptr_valid, split, axis=1)], axis=1)
+        return memory, memory_pos, memory_valid
+
+    def _track_core(self, params, fpn, pos_enc, memory, memory_pos,
+                    memory_valid, multimask, fill_area):
+        """Memory-conditioned heads -> non-overlap -> memory encode -> hole
+        fill: the shared device chain of the per-frame fused program and the
+        chunked scan program."""
+        c = self.cfg
+        b = memory.shape[0]
+        lr, hr, ious, obj_ptr, obj_logits = self._track_impl(
+            params, fpn, pos_enc, memory, memory_pos, memory_valid,
+            multimask)
+        hr_for_mem = hr[:, 0]
+        if c.non_overlap_masks_for_mem_enc and b > 1:
+            hr_for_mem = apply_non_overlapping_constraints(hr_for_mem)
+        mem_feat, mem_pos = self._encode_impl(params, fpn, hr_for_mem,
+                                              is_pts=False)
+        filled = (fill_holes_in_mask_scores(lr[:, 0], fill_area)
+                  if fill_area > 0 else lr[:, 0])
+        # f32 obj_ptr: same stable-signature rule as the memory slots
+        return lr, obj_ptr.astype(jnp.float32), mem_feat, mem_pos, filled
+
     def _track_fused_impl(self, params, fpn, pos_enc, mem_rows, pos_rows,
                           tpos_rows, valid, ptr_rows, ptr_valid, multimask,
                           fill_area):
@@ -161,7 +218,6 @@ class SAM2VideoPredictor:
         arrays (stored by earlier frames); tpos_rows [b, R, mem_dim];
         valid [b, R] / ptr_valid [b, P] bool."""
         c = self.cfg
-        b = len(mem_rows)
         n_tok, mem_dim = self._n_feat, c.mem_dim
         f32 = jnp.float32
 
@@ -170,39 +226,129 @@ class SAM2VideoPredictor:
                 jnp.stack([jnp.reshape(r, (n_tok, mem_dim)).astype(f32)
                            for r in obj]) for obj in rows])
         mem = rows_to_stack(mem_rows)                      # [b, R, n, d]
-        pos = rows_to_stack(pos_rows) + tpos_rows[:, :, None, :]
-        pos = jnp.where(valid[:, :, None, None], pos, 0.0)
-        mem = jnp.where(valid[:, :, None, None], mem, 0.0)
-
+        pos = rows_to_stack(pos_rows)
         optrs = jnp.stack([jnp.stack([p.astype(f32) for p in obj])
                            for obj in ptr_rows])           # [b, P, ptr_dim]
-        split = c.hidden_dim // mem_dim
-        ptr_tokens = optrs.reshape(b, -1, split, mem_dim).reshape(
-            b, -1, mem_dim)
-        ptr_tokens = jnp.where(
-            jnp.repeat(ptr_valid, split, axis=1)[:, :, None], ptr_tokens, 0.0)
+        memory, memory_pos, memory_valid = self._assemble_memory(
+            mem, pos, tpos_rows, valid, optrs, ptr_valid)
+        return self._track_core(params, fpn, pos_enc, memory, memory_pos,
+                                memory_valid, multimask, fill_area)
 
-        memory = jnp.concatenate([mem.reshape(b, -1, mem_dim), ptr_tokens],
-                                 axis=1)
-        memory_pos = jnp.concatenate(
-            [pos.reshape(b, -1, mem_dim), jnp.zeros_like(ptr_tokens)], axis=1)
-        memory_valid = jnp.concatenate(
-            [jnp.repeat(valid, n_tok, axis=1),
-             jnp.repeat(ptr_valid, split, axis=1)], axis=1)
+    def _scan_impl(self, params, images, frame_ids, ring_mem, ring_pos,
+                   ring_frame, ptr_ring, ptr_frame, cond_mem, cond_pos,
+                   cond_valid, cond_ptrs, cond_ptr_valid, tpos_table,
+                   multimask, fill_area, reverse):
+        """Track a CHUNK of consecutive non-conditioning frames in ONE traced
+        program: a lax.scan whose carry is the memory ring (maskmem slots +
+        obj-ptr FIFO), with feature extraction from the device-resident clip
+        inside the scan body. The per-frame fused path costs two dispatches
+        plus small uploads per frame — wall-measured 64 ms/frame against
+        37 ms/frame device time over the remote-TPU link; the scan amortizes
+        the dispatch legs over the whole chunk.
 
-        lr, hr, ious, obj_ptr, obj_logits = self._track_impl(
-            params, fpn, pos_enc, memory, memory_pos, memory_valid,
-            multimask)
+        Index arithmetic mirrors _build_memory (reference sam2_base.py
+        :563-713): maskmem rows are the strided previous frames; obj-ptr rows
+        are conditioning-frame pointers (run constants, `cond_*`) followed by
+        the nearest tracked-frame pointers. Ring lookups go through
+        frame-id % window slots; a row is valid iff the slot still holds that
+        exact frame id, so pre-run gaps mask out exactly like dict misses in
+        the per-frame path.
 
-        hr_for_mem = hr[:, 0]
-        if c.non_overlap_masks_for_mem_enc and b > 1:
-            hr_for_mem = apply_non_overlapping_constraints(hr_for_mem)
-        mem_feat, mem_pos = self._encode_impl(params, fpn, hr_for_mem,
-                                              is_pts=False)
-        filled = (fill_holes_in_mask_scores(lr[:, 0], fill_area)
-                  if fill_area > 0 else lr[:, 0])
-        # f32 obj_ptr: same stable-signature rule as the memory slots
-        return lr, obj_ptr.astype(jnp.float32), mem_feat, mem_pos, filled
+        images: [T, H, W, 3] unnormalized; frame_ids: [CHUNK] i32 consecutive
+        (ascending, or descending when reverse); ring_mem/ring_pos
+        [b, W, n_tok, mem_dim] f32; ring_frame [W] i32 (-1 = empty);
+        ptr_ring [b, Pw, ptr_dim]; ptr_frame [Pw] i32; cond_mem/cond_pos
+        [b, nc, n_tok, mem_dim]; cond_valid [b, nc]; cond_ptrs
+        [b, ncp, ptr_dim]; cond_ptr_valid [b, ncp]; tpos_table
+        [nc + num_maskmem - 1, mem_dim].
+        """
+        c = self.cfg
+        M = c.num_maskmem
+        r = max(c.memory_temporal_stride_for_eval, 1)
+        b, W = ring_mem.shape[0], ring_mem.shape[1]
+        Pw = ptr_ring.shape[1]
+        ncp = cond_ptrs.shape[1]
+        total_ptr = c.max_obj_ptrs_in_encoder
+        n_fifo = total_ptr - ncp
+        # the reference's pointer pool scans min(num_frames, n_ptr) - 1 past
+        # frames, SKIPS missing ones (e.g. a conditioning frame inside the
+        # lookback), and truncates to n_ptr afterwards — so a gap shifts a
+        # farther frame in. Scan over all candidates, keep the first n_fifo
+        # valid by rank (sam2_video 's pos_and_ptrs[:max_obj_ptrs]).
+        num_frames = images.shape[0]
+        n_cand = max(min(num_frames, total_ptr) - 1, 0)
+
+        def step(carry, t):
+            ring_mem, ring_pos, ring_frame, ptr_ring, ptr_frame = carry
+            img = jax.lax.dynamic_index_in_dim(images, t, 0, keepdims=False)
+            fpn, pos_enc = self._features_impl(params, img)
+
+            prevs = []
+            for t_pos in range(1, M):
+                t_rel = M - t_pos
+                if t_rel == 1:
+                    prev = t + 1 if reverse else t - 1
+                elif reverse:
+                    prev = -(-(t + 2) // r) * r + (t_rel - 2) * r
+                else:
+                    prev = ((t - 2) // r) * r - (t_rel - 2) * r
+                prevs.append(prev)
+            prevs = jnp.stack(prevs)
+            slots = prevs % W
+            mem = jnp.concatenate(
+                [cond_mem, jnp.take(ring_mem, slots, axis=1)], axis=1)
+            pos = jnp.concatenate(
+                [cond_pos, jnp.take(ring_pos, slots, axis=1)], axis=1)
+            ok = ((jnp.take(ring_frame, slots) == prevs) & (prevs >= 0)
+                  & (prevs < num_frames))
+            valid = jnp.concatenate(
+                [cond_valid, jnp.broadcast_to(ok[None], (b, M - 1))], axis=1)
+
+            offs = jnp.arange(1, n_cand + 1, dtype=t.dtype)
+            fs = t + offs if reverse else t - offs
+            pok = ((jnp.take(ptr_frame, fs % Pw) == fs) & (fs >= 0)
+                   & (fs < num_frames))
+            if not c.use_obj_ptrs_in_encoder:
+                pok = jnp.zeros_like(pok)
+            # rank-gated placement: candidate with the k-th smallest t_diff
+            # among the VALID ones lands in row ncp + k - 1; the rest drop
+            rank = jnp.cumsum(pok.astype(jnp.int32))
+            slot = jnp.where(pok & (rank <= n_fifo), ncp + rank - 1,
+                             total_ptr)
+            cands = jnp.take(ptr_ring, fs % Pw, axis=1)   # [b, n_cand, D]
+            optrs = jnp.zeros((b, total_ptr, cands.shape[-1]), cands.dtype)
+            optrs = optrs.at[:, :ncp].set(cond_ptrs)
+            optrs = optrs.at[:, slot].set(cands, mode="drop")
+            pv = jnp.zeros((total_ptr,), bool).at[slot].set(True,
+                                                            mode="drop")
+            ptr_valid = (jnp.zeros((b, total_ptr), bool)
+                         .at[:, :ncp].set(cond_ptr_valid) | pv[None])
+
+            memory, memory_pos, memory_valid = self._assemble_memory(
+                mem, pos, tpos_table[None], valid, optrs, ptr_valid)
+            lr, obj_ptr, mem_feat, mem_pos, filled = self._track_core(
+                params, fpn, pos_enc, memory, memory_pos, memory_valid,
+                multimask, fill_area)
+
+            s = t % W
+            carry = (ring_mem.at[:, s].set(mem_feat),
+                     ring_pos.at[:, s].set(mem_pos),
+                     ring_frame.at[s].set(t),
+                     ptr_ring.at[:, t % Pw].set(obj_ptr),
+                     ptr_frame.at[t % Pw].set(t))
+            return carry, (lr, obj_ptr, mem_feat, mem_pos, filled)
+
+        carry = (ring_mem, ring_pos, ring_frame, ptr_ring, ptr_frame)
+        return jax.lax.scan(step, carry, frame_ids)
+
+    def _unstack_impl(self, lr, obj_ptr, mem_feat, mem_pos):
+        """Split stacked chunk outputs into per-(frame, object) rows in ONE
+        dispatch — lazy per-entry slicing would cost one RPC per row over
+        the remote-TPU link (~4 x chunk x objects round trips per run)."""
+        def split(a):
+            return [[a[i, o] for o in range(a.shape[1])]
+                    for i in range(a.shape[0])]
+        return split(lr), split(obj_ptr), split(mem_feat), split(mem_pos)
 
     def _encode_impl(self, params, fpn, high_res_masks, is_pts):
         b = high_res_masks.shape[0]
@@ -379,6 +525,221 @@ class SAM2VideoPredictor:
         return out
 
     # -------------------------------------------------------------- tracking
+    def _ensure_consts(self):
+        c = self.cfg
+        n_tok, mem_dim = self._n_feat, c.mem_dim
+        if self._zero_tok is None or self._zero_tok.shape != (n_tok, mem_dim):
+            self._zero_tok = jnp.zeros((n_tok, mem_dim), jnp.float32)
+            self._tpos_host = np.asarray(
+                self.params["maskmem_tpos_enc"], np.float32).reshape(
+                c.num_maskmem, mem_dim)
+        if self._zero_ptr is None or self._zero_ptr.shape != (c.hidden_dim,):
+            self._zero_ptr = jnp.zeros((c.hidden_dim,), jnp.float32)
+
+    @property
+    def _track_multimask(self):
+        c = self.cfg
+        return bool(c.multimask_output_in_sam
+                    and c.multimask_output_for_tracking
+                    and c.multimask_min_pt_num <= 0 <= c.multimask_max_pt_num)
+
+    def _scan_plan(self, state, run, reverse):
+        """Return a generator tracking `run` (consecutive non-cond frames, in
+        propagation order) via chunked scans, or None when the per-frame path
+        must be used. Falls back when: scanning is disabled, the run is
+        shorter than one chunk, frames are host-resident, the conditioning
+        set overflows max_cond_frames_in_attn (the per-frame path then does
+        per-frame closest-cond selection, _build_memory), or history_window
+        is 0 (the caller wants every per-frame dict entry kept)."""
+        c = self.cfg
+        CH = self.scan_chunk
+        n_obj = len(state["obj_id_to_idx"])
+        if (not CH or CH < 2 or len(run) < CH or n_obj == 0
+                or c.num_maskmem < 2 or not self.history_window
+                or isinstance(state["images"], np.ndarray)):
+            return None
+        conds = [state["output_dict_per_obj"][o]["cond"] for o in range(n_obj)]
+        if (c.max_cond_frames_in_attn != -1
+                and any(len(cd) > c.max_cond_frames_in_attn for cd in conds)):
+            return None
+
+        self._ensure_consts()
+        f32 = jnp.float32
+        n_tok, mem_dim = self._n_feat, c.mem_dim
+        start = run[0]
+        W, Pw = self._ring_W, max(c.max_obj_ptrs_in_encoder, 1)
+
+        def tok(x):
+            return jnp.reshape(x, (n_tok, mem_dim)).astype(f32)
+
+        # --- conditioning rows (run constants; every step sees all of them,
+        # selection is the identity because max_cond_frames_in_attn is -1 or
+        # not binding — checked above)
+        nc = max(len(cd) for cd in conds)
+        cond_val = np.zeros((n_obj, nc), bool)
+        cm_rows, cp_rows = [], []
+        for o, cd in enumerate(conds):
+            rm, rp = [], []
+            for k, out in enumerate(cd.values()):
+                if "maskmem_features" in out:
+                    rm.append(tok(out["maskmem_features"]))
+                    rp.append(tok(out["maskmem_pos_enc"]))
+                    cond_val[o, k] = True
+                else:
+                    rm.append(self._zero_tok)
+                    rp.append(self._zero_tok)
+            rm += [self._zero_tok] * (nc - len(rm))
+            rp += [self._zero_tok] * (nc - len(rp))
+            cm_rows.append(rm)
+            cp_rows.append(rp)
+        shape_c = (n_obj, nc, n_tok, mem_dim)
+        cond_mem = (jnp.stack([jnp.stack(r) for r in cm_rows])
+                    if nc else jnp.zeros(shape_c, f32))
+        cond_pos = (jnp.stack([jnp.stack(r) for r in cp_rows])
+                    if nc else jnp.zeros(shape_c, f32))
+
+        # --- conditioning obj-ptr rows (reference pool semantics: cond
+        # pointers first, filtered to the past for eval; constant within a
+        # run because runs never straddle a conditioning frame)
+        pools = []
+        for cd in conds:
+            pool = []
+            if c.use_obj_ptrs_in_encoder:
+                for t0, out in cd.items():
+                    if (c.only_obj_ptrs_in_the_past_for_eval
+                            and not (t0 >= start if reverse else t0 <= start)):
+                        continue
+                    pool.append(out["obj_ptr"].astype(f32))
+            pools.append(pool[: c.max_obj_ptrs_in_encoder])
+        ncp = max(len(p) for p in pools)
+        cond_ptr_val = np.zeros((n_obj, ncp), bool)
+        for o, p in enumerate(pools):
+            cond_ptr_val[o, : len(p)] = True
+            pools[o] = p + [self._zero_ptr] * (ncp - len(p))
+        cond_ptrs = (jnp.stack([jnp.stack(p) for p in pools]) if ncp
+                     else jnp.zeros((n_obj, 0, c.hidden_dim), f32))
+
+        # temporal-pos table: cond rows use t_pos=0, then t_pos=1..M-1
+        # (matches _build_memory's tpos_host[num_maskmem - t_pos - 1] rows)
+        M = c.num_maskmem
+        tpos = np.concatenate(
+            [np.repeat(self._tpos_host[M - 1][None], nc, axis=0)] +
+            [self._tpos_host[M - t_pos - 1][None] for t_pos in range(1, M)])
+        tpos_a = jnp.asarray(tpos)
+
+        # --- seed the rings from any already-tracked frames in the lookback
+        # window (e.g. a propagation restarted mid-video)
+        ring_frame = np.full((W,), -1, np.int32)
+        rm = [[self._zero_tok] * W for _ in range(n_obj)]
+        rp = [[self._zero_tok] * W for _ in range(n_obj)]
+        seedrange = (range(start + 1, start + W + 1) if reverse
+                     else range(max(start - W, 0), start))
+        for f in seedrange:
+            outs = [state["output_dict_per_obj"][o]["non_cond"].get(f)
+                    for o in range(n_obj)]
+            if all(o is not None and "maskmem_features" in o for o in outs):
+                s = f % W
+                ring_frame[s] = f
+                for o in range(n_obj):
+                    rm[o][s] = tok(outs[o]["maskmem_features"])
+                    rp[o][s] = tok(outs[o]["maskmem_pos_enc"])
+        ring_mem = jnp.stack([jnp.stack(r) for r in rm])
+        ring_pos = jnp.stack([jnp.stack(r) for r in rp])
+
+        ptr_frame = np.full((Pw,), -1, np.int32)
+        pr = [[self._zero_ptr] * Pw for _ in range(n_obj)]
+        pseed = (range(start + 1, start + Pw + 1) if reverse
+                 else range(max(start - Pw, 0), start))
+        for f in pseed:
+            outs = [state["output_dict_per_obj"][o]["non_cond"].get(f)
+                    for o in range(n_obj)]
+            if all(o is not None and "obj_ptr" in o for o in outs):
+                s = f % Pw
+                ptr_frame[s] = f
+                for o in range(n_obj):
+                    pr[o][s] = outs[o]["obj_ptr"].astype(f32)
+        ptr_ring = jnp.stack([jnp.stack(p) for p in pr])
+
+        carry = (ring_mem, ring_pos, jnp.asarray(ring_frame),
+                 ptr_ring, jnp.asarray(ptr_frame))
+        multimask = self._track_multimask
+        keep = -(-self.history_window // CH) + 1
+
+        def gen():
+            nonlocal carry
+            recent = []
+            pend = None   # previous chunk's (frames, filled device array)
+            n_full = len(run) // CH
+            for k in range(n_full):
+                chunk = run[k * CH:(k + 1) * CH]
+                ids = jnp.asarray(np.asarray(chunk, np.int32))
+                carry, outs = self._jit_scan(
+                    self.params, state["images"], ids, *carry,
+                    cond_mem, cond_pos, jnp.asarray(cond_val),
+                    cond_ptrs, jnp.asarray(cond_ptr_val), tpos_a,
+                    multimask=multimask, fill_area=c.fill_hole_area,
+                    reverse=reverse)
+                recent.append((chunk, outs))
+                del recent[:-keep]
+                # chunk k yields only after chunk k+1 is dispatched, and as
+                # numpy views of ONE whole-chunk fetch: per-frame lazy slices
+                # would cost a slice RPC + a fetch RPC per frame over the
+                # remote link, serialized against an idle device (the next
+                # chunk isn't submitted until the consumer drains)
+                if pend is not None:
+                    for t, m in zip(pend[0], np.asarray(pend[1])):
+                        yield t, m
+                pend = (chunk, outs[4])
+            # per-frame dict entries for the lookback tail, so the per-frame
+            # path (partial last chunk, later propagate calls) sees history;
+            # dispatched async BEFORE the final chunk's fetch blocks on it
+            self._scan_writeback(state, recent)
+            if pend is not None:
+                for t, m in zip(pend[0], np.asarray(pend[1])):
+                    yield t, m
+            for t in run[n_full * CH:]:
+                yield t, self._track_frame(state, t, reverse)
+        return gen()
+
+    def _scan_writeback(self, state, recent):
+        """Materialize per-frame non_cond entries (as lazy device slices) for
+        the last history_window frames of a scan run, and prune older ones —
+        the same bound the per-frame path enforces."""
+        if not recent:
+            return
+        n_obj = len(state["obj_id_to_idx"])
+        last = recent[-1][0][-1]
+        w = self.history_window
+        for chunk, (lr, obj_ptr, mem_feat, mem_pos, _) in recent:
+            if all(abs(t - last) > w for t in chunk):
+                continue
+            lr_r, ptr_r, mf_r, mp_r = self._jit_unstack(
+                lr, obj_ptr, mem_feat, mem_pos)
+            for i, t in enumerate(chunk):
+                if abs(t - last) > w:
+                    continue
+                for o in range(n_obj):
+                    state["output_dict_per_obj"][o]["non_cond"][t] = {
+                        "pred_masks": lr_r[i][o],
+                        "obj_ptr": ptr_r[i][o],
+                        "maskmem_features": mf_r[i][o],
+                        "maskmem_pos_enc": mp_r[i][o],
+                    }
+        for o in range(n_obj):
+            nc = state["output_dict_per_obj"][o]["non_cond"]
+            for t in [t for t in nc if abs(t - last) > w]:
+                del nc[t]
+
+    def _propagate_run(self, state, run, reverse):
+        """Track one maximal run of consecutive non-conditioning frames,
+        yielding (frame_idx, filled low-res masks [b, H, W])."""
+        scan = self._scan_plan(state, run, reverse)
+        if scan is not None:
+            yield from scan
+            return
+        for t in run:
+            yield t, self._track_frame(state, t, reverse)
+
     def _build_memory(self, state, frame_idx, idx, reverse=False):
         """Assemble the fixed-layout memory for one object (sam2_base.py
         :563-713): cond frames (t_pos 0) + previous num_maskmem-1 frames +
@@ -414,11 +775,7 @@ class SAM2VideoPredictor:
         # temporal-pos add happen in-program); host builds only the tiny
         # validity flags and the temporal-pos row table.
         n_rows = slots + len(sel_cond)
-        if self._zero_tok is None or self._zero_tok.shape != (n_tok, mem_dim):
-            self._zero_tok = jnp.zeros((n_tok, mem_dim), jnp.float32)
-            self._tpos_host = np.asarray(
-                self.params["maskmem_tpos_enc"], np.float32).reshape(
-                c.num_maskmem, mem_dim)
+        self._ensure_consts()
         zero = self._zero_tok
         valid = np.zeros((n_rows,), bool)
         tpos_rows = np.zeros((n_rows, mem_dim), np.float32)
@@ -438,9 +795,6 @@ class SAM2VideoPredictor:
 
         # object pointers (device rows + host validity, same scheme)
         n_ptr = c.max_obj_ptrs_in_encoder
-        ptr_dim = c.hidden_dim
-        if self._zero_ptr is None or self._zero_ptr.shape != (ptr_dim,):
-            self._zero_ptr = jnp.zeros((ptr_dim,), jnp.float32)
         ptr_rows = []
         ptr_valid = np.zeros((n_ptr,), bool)
         if c.use_obj_ptrs_in_encoder:
@@ -475,13 +829,11 @@ class SAM2VideoPredictor:
             valids.append(v)
             ptrs.append(tuple(pt)); ptr_valids.append(pv)
 
-        multimask = c.multimask_output_in_sam and c.multimask_output_for_tracking \
-            and (c.multimask_min_pt_num <= 0 <= c.multimask_max_pt_num)
         lr, obj_ptr, mem_feat, mem_pos, filled = self._jit_track_fused(
             self.params, fpn, pos_enc, tuple(mems), tuple(poss),
             jnp.asarray(np.stack(tposs)), jnp.asarray(np.stack(valids)),
             tuple(ptrs), jnp.asarray(np.stack(ptr_valids)),
-            multimask=multimask, fill_area=c.fill_hole_area)
+            multimask=self._track_multimask, fill_area=c.fill_hole_area)
 
         for idx in range(n_obj):
             nc = state["output_dict_per_obj"][idx]["non_cond"]
@@ -534,22 +886,33 @@ class SAM2VideoPredictor:
                       state["num_frames"] - 1)
             rng = range(start_frame_idx, end + 1)
         hw = self.cfg.image_size // 4
-        for t in rng:
+        ts = list(rng)
+        i = 0
+        while i < len(ts):
+            t = ts[i]
             if t in cond_frames:
                 masks = jnp.stack([
-                    jnp.reshape(state["output_dict_per_obj"][i]["cond"][t]
+                    jnp.reshape(state["output_dict_per_obj"][k]["cond"][t]
                                 ["pred_masks"], (hw, hw))
-                    if t in state["output_dict_per_obj"][i]["cond"] else
+                    if t in state["output_dict_per_obj"][k]["cond"] else
                     jnp.full((hw, hw), NO_OBJ_SCORE, jnp.float32)
-                    for i in range(len(obj_ids))])
+                    for k in range(len(obj_ids))])
                 if self.cfg.fill_hole_area > 0:
                     masks = fill_holes_in_mask_scores(
                         masks, self.cfg.fill_hole_area)
-            else:
-                # [b, H, W], hole filling already applied inside the fused
-                # track program
-                masks = self._track_frame(state, t, reverse)
-            # device array (np.asarray-compatible): fetching here would
-            # fence every frame on the submit->fetch round trip; streaming
-            # consumers overlap the fetch with the next frame instead
-            yield t, obj_ids, masks
+                yield t, obj_ids, masks
+                i += 1
+                continue
+            # maximal run of consecutive non-conditioning frames: tracked by
+            # chunked device scans when eligible, per-frame otherwise
+            # (_propagate_run). Per-frame yields are lazy device arrays
+            # (fetching here would fence every frame on the submit->fetch
+            # round trip; streaming consumers overlap the fetch with the next
+            # frame's compute); scan chunks yield numpy views of one
+            # whole-chunk fetch that already overlapped the next chunk.
+            j = i
+            while j < len(ts) and ts[j] not in cond_frames:
+                j += 1
+            for t2, masks in self._propagate_run(state, ts[i:j], reverse):
+                yield t2, obj_ids, masks
+            i = j

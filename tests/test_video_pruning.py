@@ -34,6 +34,9 @@ def tiny_pred():
 
 def _propagate(pred, frames, window=None):
     state = pred.init_state(frames)
+    # this test targets the per-frame path's dict pruning; the chunked-scan
+    # path has its own writeback pruning covered by test_video_scan.py
+    pred.scan_chunk = 0
     if window is not None:
         old, pred.history_window = pred.history_window, window
     try:

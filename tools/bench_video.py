@@ -11,7 +11,13 @@ yields lazy DEVICE arrays (like the reference yielding GPU tensors), so
 the bench streams 1-deep — fetching frame t-1 (np.asarray) while frame t
 computes — which is how a real consumer should drain it.
 
-Usage: python tools/bench_video.py [--frames 12] [--size 1024] [--objs 1]
+Two passes: pass 1 (fresh state) takes the compiles; pass 2 (fresh state,
+re-prompted) is timed end-to-end — per-yield timing would misattribute the
+chunked-scan path's burst yields (one device dispatch covers scan_chunk
+frames), so steady-state ms/frame is total pass-2 wall over tracked frames.
+
+Usage: python tools/bench_video.py [--frames 32] [--size 1024] [--objs 1]
+                                   [--scan 8]   # 0 = per-frame path
 """
 import argparse
 import os
@@ -25,9 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=12)  # >= 3 (2 warmup)
+    ap.add_argument("--frames", type=int, default=32)  # >= 3 (2 warmup)
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--objs", type=int, default=1)
+    ap.add_argument("--scan", type=int, default=None,
+                    help="scan_chunk override (0 = per-frame path)")
     ap.add_argument("--config", default="sam2_hiera_l.yaml")
     args = ap.parse_args()
     if args.frames < 3:
@@ -80,41 +88,45 @@ def main():
         frames[t, args.size // 4:args.size // 2,
                x0:x0 + args.size // 4] = 0.9
 
-    t0 = time.time()
-    state = pred.init_state(frames)
-    for j in range(args.objs):
-        y = args.size * 3 // 8 + 7 * j
-        pred.add_new_points_or_box(
-            state, 0, j + 1,
-            points=np.array([[args.size // 4, y]], np.float32),
-            labels=np.array([1], np.int32))
-    prompt_s = time.time() - t0
+    if args.scan is not None:
+        pred.scan_chunk = args.scan
 
-    # first propagation pass: compiles the track/encode steps. The masks
-    # come back as device arrays; stream 1-deep like a real consumer —
-    # fetch frame t-1 while frame t computes (the propagation itself is
-    # sequentially dependent, so this hides only the D2H leg)
-    times = []
-    pend = None
-    t0 = time.time()
-    for fidx, obj_ids, masks in pred.propagate_in_video(state):
+    def run_pass(stream=True):
+        """One full prompt + propagation; returns (prompt_s, track_s,
+        n_tracked). Streams 1-deep like a real consumer — fetch frame t-1
+        while frame t computes (the propagation itself is sequentially
+        dependent, so this hides only the D2H leg)."""
+        t0 = time.time()
+        state = pred.init_state(frames)
+        for j in range(args.objs):
+            y = args.size * 3 // 8 + 7 * j
+            pred.add_new_points_or_box(
+                state, 0, j + 1,
+                points=np.array([[args.size // 4, y]], np.float32),
+                labels=np.array([1], np.int32))
+        prompt_s = time.time() - t0
+        t0 = time.time()
+        n = 0
+        pend = None
+        for fidx, obj_ids, masks in pred.propagate_in_video(state):
+            if pend is not None:
+                np.asarray(pend)
+            pend = masks
+            n += 1
         if pend is not None:
             np.asarray(pend)
-        pend = masks
-        times.append(time.time() - t0)
-        t0 = time.time()
-    if pend is not None:
-        np.asarray(pend)
-    compile_s = times[1] if len(times) > 1 else float("nan")
+        return prompt_s, time.time() - t0, n - 1  # frame 0 is the prompt
 
-    # steady state: skip the prompt frame (cached) + the compile frame
-    steady = times[2:]
-    ms = 1000.0 * float(np.mean(steady)) if steady else float("nan")
-    fps = 1000.0 / ms if steady else float("nan")
+    # pass 1 takes every compile; pass 2 is the steady-state measurement
+    prompt_s, compile_s, _ = run_pass()
+    _, track_s, n_tracked = run_pass()
+    ms = 1000.0 * track_s / max(n_tracked, 1)
+    fps = 1000.0 / ms
     print(f"# init {init_s:.1f}s, prompt(+compile) {prompt_s:.1f}s, "
-          f"first tracked frame (compile) {compile_s:.1f}s, "
+          f"first pass (compile) {compile_s:.1f}s, "
           f"steady {ms:.0f} ms/frame = {fps:.2f} frames/s "
-          f"({args.objs} obj, {args.size}px, {len(steady)} frames timed, "
+          f"({args.objs} obj, {args.size}px, {n_tracked} frames timed, "
+          f"scan_chunk={pred.scan_chunk}, "
           f"backend={jax.default_backend()})", file=sys.stderr)
     import json
     print(json.dumps({"metric": f"video propagation ({args.config}, "
