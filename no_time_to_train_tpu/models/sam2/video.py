@@ -255,7 +255,11 @@ class SAM2VideoPredictor:
         the per-frame path.
 
         images: [T, H, W, 3] unnormalized; frame_ids: [CHUNK] i32 consecutive
-        (ascending, or descending when reverse); ring_mem/ring_pos
+        (ascending, or descending when reverse), right-padded with -1 for a
+        partial tail chunk — padding steps lax.cond-skip the whole body at
+        runtime (carry passes through, outputs are zeros the host discards),
+        so a tail of k frames costs k frame-computes, not CHUNK;
+        ring_mem/ring_pos
         [b, W, n_tok, mem_dim] f32; ring_frame [W] i32 (-1 = empty);
         ptr_ring [b, Pw, ptr_dim]; ptr_frame [Pw] i32; cond_mem/cond_pos
         [b, nc, n_tok, mem_dim]; cond_valid [b, nc]; cond_ptrs
@@ -278,7 +282,7 @@ class SAM2VideoPredictor:
         num_frames = images.shape[0]
         n_cand = max(min(num_frames, total_ptr) - 1, 0)
 
-        def step(carry, t):
+        def real_step(carry, t):
             ring_mem, ring_pos, ring_frame, ptr_ring, ptr_frame = carry
             img = jax.lax.dynamic_index_in_dim(images, t, 0, keepdims=False)
             fpn, pos_enc = self._features_impl(params, img)
@@ -337,6 +341,13 @@ class SAM2VideoPredictor:
                      ptr_ring.at[:, t % Pw].set(obj_ptr),
                      ptr_frame.at[t % Pw].set(t))
             return carry, (lr, obj_ptr, mem_feat, mem_pos, filled)
+
+        def step(carry, t):
+            real = lambda cr: real_step(cr, t)
+            out_shapes = jax.eval_shape(real, carry)[1]
+            skip = lambda cr: (cr, jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), out_shapes))
+            return jax.lax.cond(t >= 0, real, skip, carry)
 
         carry = (ring_mem, ring_pos, ring_frame, ptr_ring, ptr_frame)
         return jax.lax.scan(step, carry, frame_ids)
@@ -545,16 +556,18 @@ class SAM2VideoPredictor:
 
     def _scan_plan(self, state, run, reverse):
         """Return a generator tracking `run` (consecutive non-cond frames, in
-        propagation order) via chunked scans, or None when the per-frame path
-        must be used. Falls back when: scanning is disabled, the run is
-        shorter than one chunk, frames are host-resident, the conditioning
-        set overflows max_cond_frames_in_attn (the per-frame path then does
-        per-frame closest-cond selection, _build_memory), or history_window
-        is 0 (the caller wants every per-frame dict entry kept)."""
+        propagation order) via chunked scans — a partial last chunk is padded
+        with -1 frame ids and runs through the same compiled scan — or None
+        when the per-frame path must be used. Falls back when: scanning is
+        disabled, the run is a single frame, frames are host-resident, the
+        conditioning set overflows max_cond_frames_in_attn (the per-frame
+        path then does per-frame closest-cond selection, _build_memory), or
+        history_window is 0 (the caller wants every per-frame dict entry
+        kept)."""
         c = self.cfg
         CH = self.scan_chunk
         n_obj = len(state["obj_id_to_idx"])
-        if (not CH or CH < 2 or len(run) < CH or n_obj == 0
+        if (not CH or CH < 2 or len(run) < 2 or n_obj == 0
                 or c.num_maskmem < 2 or not self.history_window
                 or isinstance(state["images"], np.ndarray)):
             return None
@@ -669,10 +682,14 @@ class SAM2VideoPredictor:
             nonlocal carry
             recent = []
             pend = None   # previous chunk's (frames, filled device array)
-            n_full = len(run) // CH
-            for k in range(n_full):
+            n_chunks = -(-len(run) // CH)
+            for k in range(n_chunks):
                 chunk = run[k * CH:(k + 1) * CH]
-                ids = jnp.asarray(np.asarray(chunk, np.int32))
+                # a partial tail chunk reuses the SAME compiled scan: pad the
+                # frame ids with -1 (runtime-skipped steps, _scan_impl)
+                ids_np = np.full((CH,), -1, np.int32)
+                ids_np[: len(chunk)] = chunk
+                ids = jnp.asarray(ids_np)
                 carry, outs = self._jit_scan(
                     self.params, state["images"], ids, *carry,
                     cond_mem, cond_pos, jnp.asarray(cond_val),
@@ -697,8 +714,6 @@ class SAM2VideoPredictor:
             if pend is not None:
                 for t, m in zip(pend[0], np.asarray(pend[1])):
                     yield t, m
-            for t in run[n_full * CH:]:
-                yield t, self._track_frame(state, t, reverse)
         return gen()
 
     def _scan_writeback(self, state, recent):
