@@ -107,9 +107,20 @@ def sdpa(q, k, v, mask=None, impl=None):
     if impl is None:
         impl = _DEFAULT_IMPL
     from no_time_to_train_tpu.ops.upscale_product import fusion_disabled
-    if (impl == "pallas" and mask is None
+    if (impl == "pallas"
             and q.shape[-2] >= _PALLAS_MIN_Q and k.shape[-2] >= _PALLAS_MIN_Q
             and not _default_device_is_cpu() and not fusion_disabled()):
-        from no_time_to_train_tpu.ops.flash_attention import flash_sdpa
-        return flash_sdpa(q, k, v, mask=mask)
+        if mask is None:
+            from no_time_to_train_tpu.ops.flash_attention import flash_sdpa
+            return flash_sdpa(q, k, v, mask=mask)
+        from no_time_to_train_tpu.ops.flash_attention import (
+            ONEPASS_MAX_NK, flash_sdpa_masked)
+        if (q.ndim == 4 and mask.ndim == 4 and k.shape[-2] > ONEPASS_MAX_NK
+                and mask.shape == (q.shape[0], 1, 1, k.shape[-2])
+                and mask.dtype == jnp.bool_):
+            # key-column validity mask over a key range too wide for the
+            # resident kernels (memory attention's ring mask): the streaming
+            # masked kernel keeps the f32 logits out of HBM. Shorter masked
+            # key ranges stay on the fused XLA path (measured fine there).
+            return flash_sdpa_masked(q, k, v, mask[:, 0, 0, :])
     return _xla_sdpa(q, k, v, mask)

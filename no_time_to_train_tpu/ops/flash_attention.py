@@ -15,6 +15,14 @@ decoder's image-side attention.
 - **Online-softmax kernel** (wider key ranges): classic flash — keys/values
   stream block-by-block with running max/sum rescaling so only
   O(block^2) logits are ever materialized.
+- **Streaming masked kernel** (`flash_sdpa_masked`): keys/values stream as
+  k-grid blocks with the online carries in VMEM scratch, so neither the key
+  range nor the head dim is bounded by VMEM residency, and an arbitrary
+  per-batch key-column validity mask rides along as an additive f32 bias
+  row. Built for SAM2 memory attention (4096 image queries x ~28.7k
+  ring-masked memory keys x d=256, 4 layers per tracked frame — the
+  validity pattern varies at runtime with the ring fill, reference
+  concatenation semantics sam2_base.py:695-716).
 
 Falls back to the fused XLA path for shapes below the tiling minimum (the
 decoder's token-side attentions have tiny N) or on non-TPU backends.
@@ -234,6 +242,125 @@ def _flash_bh(q, k, v, block_q, block_k, n_valid):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
     )(q, k, v)
+
+
+def _flash_masked_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                         acc_ref, m_ref, l_ref, *, sm_scale, n_kblocks):
+    """Online-softmax step over one (query block, key block) grid cell.
+
+    The k grid dimension is innermost (TPU grids iterate the last dimension
+    fastest), so the (acc, m, l) scratch carries accumulate across the key
+    blocks of one query block and the output writes once at the last one.
+    bias_ref carries the key-column mask as an additive f32 row (0 valid,
+    -1e30 masked): a fully-masked PREFIX self-heals (its acc/l are scaled by
+    exp(-1e30 - m) = 0 at the first valid block), and a fully-masked ROW
+    degrades to the uniform average of v — exactly the fused XLA path's
+    where(mask, s, finfo.min) behavior."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # GEMMs run in the operands' native dtype (bf16 on the hot path — f32
+    # inputs would quarter the MXU rate) with f32 accumulation; the softmax
+    # carries stay f32
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    s = s * sm_scale + bias_ref[0]                  # [1, bk] broadcast
+    m_prev = m_ref[...][:, :1]                      # [bq, 1]
+    l_prev = l_ref[...][:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == n_kblocks - 1)
+    def _fin():
+        o_ref[0] = (acc_ref[...] / l_ref[...][:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "block_q", "block_k",
+                                    "interpret"))
+def _flash_masked_bh(q, k, v, bias, heads, block_q, block_k,
+                     interpret=False):
+    """q: [BH, N_q, D]; k, v: [BH, N_k, D]; bias: [B, 1, N_k] f32 additive
+    key-column bias shared across the H heads of each batch element. N_q/N_k
+    divisible by the blocks (caller pads; padded key columns carry -1e30
+    bias, padded query rows are sliced off)."""
+    bh, n_q, d = q.shape
+    n_k = k.shape[1]
+    sm_scale = 1.0 / (d ** 0.5)
+    n_kblocks = n_k // block_k
+    kernel = functools.partial(_flash_masked_kernel, sm_scale=sm_scale,
+                               n_kblocks=n_kblocks)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_q // block_q, n_kblocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b, i, j: (b // heads, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ] if _HAS_TPU_PALLAS else None,
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+MASKED_NEG = -1e30
+
+
+def flash_sdpa_masked(q, k, v, key_valid, block_q=1024, block_k=1024,
+                      interpret=False):
+    """Streaming flash attention with a per-batch key-column validity mask.
+
+    q: [B, H, N_q, D]; k, v: [B, H, N_k, D]; key_valid: [B, N_k] bool
+    (True = attend). Keys/values stream block-by-block through a k-grid
+    dimension with the online-softmax carries in VMEM scratch, so N_k and D
+    are unbounded by VMEM (memory attention's ~28.7k keys at d=256 don't
+    fit the resident kernels). Rows with zero valid keys return the uniform
+    average of v, matching the XLA masked path."""
+    b, h, n_q, d = q.shape
+    n_k = k.shape[-2]
+    bq = min(block_q, max(8, n_q))
+    # keep the f32 logits block within the scoped-vmem budget
+    while bq * block_k * 4 > ONEPASS_LOGITS_BYTES and block_k > 128:
+        block_k //= 2
+    bk = min(block_k, max(128, n_k))
+    q_pad = (-n_q) % bq
+    k_pad = (-n_k) % bk
+    bias = jnp.where(key_valid, 0.0, MASKED_NEG).astype(jnp.float32)
+    bias = bias[:, None, :]                                # [B, 1, N_k]
+    if q_pad:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, q_pad), (0, 0)])
+    if k_pad:
+        pad = [(0, 0), (0, 0), (0, k_pad), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        bias = jnp.pad(bias, [(0, 0), (0, 0), (0, k_pad)],
+                       constant_values=MASKED_NEG)
+    out = _flash_masked_bh(q.reshape(b * h, n_q + q_pad, d),
+                           k.reshape(b * h, n_k + k_pad, d),
+                           v.reshape(b * h, n_k + k_pad, d),
+                           bias, h, bq, bk, interpret=interpret)
+    out = out.reshape(b, h, n_q + q_pad, d)
+    return out[:, :, :n_q] if q_pad else out
 
 
 def flash_sdpa(q, k, v, mask=None, block_q=DEFAULT_BLOCK_Q,

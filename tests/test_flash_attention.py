@@ -412,3 +412,96 @@ def test_sdpa_bnhd_pallas_routing(rng, monkeypatch):
     out = att.sdpa_bnhd(q, q, q, impl="pallas")
     assert calls["shape"] == (1, 2, 600, 64)  # transposed into sdpa's layout
     assert out.shape == (1, 600, 2, 64)
+
+
+@pytest.mark.skipif(not fa._HAS_TPU_PALLAS, reason="no pallas tpu")
+def test_flash_masked_interpret(rng):
+    """Streaming masked kernel vs the XLA masked path (interpret mode):
+    random per-batch key-column masks, including a fully-masked leading key
+    BLOCK (the online carries must self-heal when the first valid key
+    arrives) and a ragged valid prefix."""
+    b, h, n_q, n_k, d = 2, 2, 64, 640, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n_q, d)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n_k, d)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n_k, d)) * 0.3, jnp.float32)
+    valid = rng.random((b, n_k)) < 0.5
+    valid[0, :128] = False          # whole first k-block masked
+    valid[0, 128] = True            # first valid key mid-range
+    valid[1, :] = np.arange(n_k) < 300   # ragged prefix
+    valid = jnp.asarray(valid)
+    out = fa.flash_sdpa_masked(q, k, v, valid, block_q=32, block_k=128,
+                               interpret=True)
+    ref = _xla_sdpa(q, k, v, mask=valid[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)
+
+
+@pytest.mark.skipif(not fa._HAS_TPU_PALLAS, reason="no pallas tpu")
+def test_flash_masked_uneven_shapes_interpret(rng):
+    """Query/key counts off the block grain pad through (padded key columns
+    carry the masked bias, padded query rows are sliced off)."""
+    b, h, n_q, n_k, d = 1, 1, 50, 300, 32
+    q = jnp.asarray(rng.standard_normal((b, h, n_q, d)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n_k, d)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n_k, d)) * 0.3, jnp.float32)
+    valid = jnp.asarray(rng.random((b, n_k)) < 0.7)
+    out = fa.flash_sdpa_masked(q, k, v, valid, block_q=16, block_k=128,
+                               interpret=True)
+    ref = _xla_sdpa(q, k, v, mask=valid[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)
+
+
+def test_sdpa_routes_masked_flash(monkeypatch, rng):
+    """A key-column mask over a key range beyond the one-pass cap routes to
+    the streaming masked kernel under impl='pallas'; other masked forms and
+    short key ranges stay XLA."""
+    from no_time_to_train_tpu.ops import attention as att
+    calls = []
+
+    def fake_masked(q, k, v, key_valid):
+        calls.append((q.shape, k.shape))
+        return att._xla_sdpa(q, k, v, key_valid[:, None, None, :])
+
+    monkeypatch.setattr(fa, "flash_sdpa_masked", fake_masked)
+    monkeypatch.setattr(fa, "ONEPASS_MAX_NK", 512)
+    monkeypatch.setattr(att, "_default_device_is_cpu", lambda: False)
+    q = jnp.asarray(rng.standard_normal((2, 1, 512, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 1, 768, 32)), jnp.float32)
+    colmask = jnp.ones((2, 1, 1, 768), bool)
+    att.sdpa(q, k, k, mask=colmask, impl="pallas")        # routes
+    assert calls == [((2, 1, 512, 32), (2, 1, 768, 32))]
+    att.sdpa(q, k, k, mask=jnp.ones((2, 1, 512, 768), bool),
+             impl="pallas")                               # full mask -> XLA
+    att.sdpa(q, q, q, mask=jnp.ones((2, 1, 1, 512), bool),
+             impl="pallas")                               # short keys -> XLA
+    att.sdpa(q, k, k, mask=colmask, impl="xla")           # explicit XLA
+    assert len(calls) == 1
+
+
+def test_flash_masked_tpu_parity(rng):
+    """Compiled streaming masked kernel at the memory-attention shape
+    (4096 queries x 28736 keys x d=256, h=1, ring-style validity: whole
+    4096-token slots toggling + a partial pointer tail) vs XLA on the TPU."""
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no TPU device available")
+    dev = tpus[0]
+    b, n_q, n_k, d = 2, 4096, 7 * 4096 + 64, 256
+    q = jax.device_put(jnp.asarray(
+        rng.standard_normal((b, 1, n_q, d)) * 0.2, jnp.bfloat16), dev)
+    k = jax.device_put(jnp.asarray(
+        rng.standard_normal((b, 1, n_k, d)) * 0.2, jnp.bfloat16), dev)
+    v = jax.device_put(jnp.asarray(
+        rng.standard_normal((b, 1, n_k, d)) * 0.2, jnp.bfloat16), dev)
+    valid = np.zeros((b, n_k), bool)
+    for o, slots in enumerate([(0, 2, 3), (0, 1, 2, 4, 6)]):
+        for s in slots:
+            valid[o, s * 4096:(s + 1) * 4096] = True
+    valid[:, 7 * 4096: 7 * 4096 + 24] = True   # partial pointer tail
+    valid = jax.device_put(jnp.asarray(valid), dev)
+    out = np.asarray(jax.jit(fa.flash_sdpa_masked)(q, k, v, valid),
+                     np.float32)
+    ref = np.asarray(jax.jit(_xla_sdpa)(
+        q, k, v, valid[:, None, None, :]), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
