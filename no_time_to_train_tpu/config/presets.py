@@ -66,6 +66,9 @@ class Sam2Config:
     fill_hole_area: int = 8                            # video-predictor override
     max_cond_frames_in_attn: int = -1
     non_overlap_masks_for_mem_enc: bool = False
+    # whether correction clicks on an already-tracked frame promote it to a
+    # conditioning frame (reference sam2_base.py:36 / :262)
+    add_all_frames_to_correct_as_cond: bool = False
 
     @property
     def num_feature_levels(self):

@@ -62,16 +62,27 @@ def select_closest_cond_frames(frame_idx, cond_frame_outputs, max_cond_frame_num
 
 
 class SAM2VideoPredictor:
-    def __init__(self, model: SAM2, params):
+    def __init__(self, model: SAM2, params,
+                 clear_non_cond_mem_around_input=False,
+                 clear_non_cond_mem_for_multi_obj=False):
         self.model = model
         self.params = params
         self.cfg = model.cfg
+        # correction-click memory hygiene knobs (reference
+        # sam2_video_predictor.py:21-37)
+        self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
+        self.clear_non_cond_mem_for_multi_obj = clear_non_cond_mem_for_multi_obj
         c = self.cfg
         self._feat_hw = c.sam_image_embedding_size
         self._n_feat = self._feat_hw * self._feat_hw
         self._jit_features = jax.jit(self._features_impl)
         self._jit_cond = jax.jit(self._cond_impl,
                                  static_argnames=("multimask", "has_points"))
+        self._jit_correct = jax.jit(
+            self._correct_impl,
+            static_argnames=("multimask", "has_points", "has_mask"))
+        self._jit_consolidate_encode = jax.jit(
+            self._consolidate_encode_impl, static_argnames=("nonoverlap",))
         self._jit_encode = jax.jit(self._encode_impl,
                                    static_argnames=("is_pts",))
         self._jit_mask_as_output = jax.jit(self._mask_as_output_impl)
@@ -136,8 +147,12 @@ class SAM2VideoPredictor:
                            multimask)
 
     def _track_impl(self, params, fpn, pos_enc, memory, memory_pos,
-                    memory_valid, multimask):
-        """Non-conditioning frame: fuse with memory, run heads (no prompts)."""
+                    memory_valid, multimask, coords=None, labels=None,
+                    mask_in=None):
+        """Memory-conditioned heads. Prompts are None while tracking; the
+        correction path (clicks on an already-tracked frame) passes the new
+        clicks plus the previous mask logits (reference sam2_base.py:804-826
+        with is_init_cond_frame=False)."""
         b = memory.shape[0]
         feats = fpn[-1]
         flat = jnp.broadcast_to(
@@ -154,7 +169,7 @@ class SAM2VideoPredictor:
             method=self.model.memory_conditioned_features)
         pix = fused.reshape(b, self._feat_hw, self._feat_hw, self.cfg.d_model)
         hr = [fpn[0], fpn[1]] if self.cfg.use_high_res_features_in_sam else None
-        return self._heads(params, pix, None, None, None, hr, multimask)
+        return self._heads(params, pix, coords, labels, mask_in, hr, multimask)
 
     def _assemble_memory(self, mem, pos, tpos_rows, valid, optrs, ptr_valid):
         """Flatten fixed-layout memory stacks into the attention operands
@@ -217,8 +232,16 @@ class SAM2VideoPredictor:
         mem_rows/pos_rows/ptr_rows: per-object tuples of per-slot device
         arrays (stored by earlier frames); tpos_rows [b, R, mem_dim];
         valid [b, R] / ptr_valid [b, P] bool."""
-        c = self.cfg
-        n_tok, mem_dim = self._n_feat, c.mem_dim
+        mem, pos, optrs = self._stack_rows(mem_rows, pos_rows, ptr_rows)
+        memory, memory_pos, memory_valid = self._assemble_memory(
+            mem, pos, tpos_rows, valid, optrs, ptr_valid)
+        return self._track_core(params, fpn, pos_enc, memory, memory_pos,
+                                memory_valid, multimask, fill_area)
+
+    def _stack_rows(self, mem_rows, pos_rows, ptr_rows):
+        """Per-object tuples of per-slot device arrays -> stacked
+        [b, R, n_tok, mem_dim] / [b, P, ptr_dim] f32 operands."""
+        n_tok, mem_dim = self._n_feat, self.cfg.mem_dim
         f32 = jnp.float32
 
         def rows_to_stack(rows):
@@ -229,10 +252,36 @@ class SAM2VideoPredictor:
         pos = rows_to_stack(pos_rows)
         optrs = jnp.stack([jnp.stack([p.astype(f32) for p in obj])
                            for obj in ptr_rows])           # [b, P, ptr_dim]
+        return mem, pos, optrs
+
+    def _correct_impl(self, params, fpn, pos_enc, mem_rows, pos_rows,
+                      tpos_rows, valid, ptr_rows, ptr_valid, coords, labels,
+                      mask_in, multimask, has_points, has_mask):
+        """Correction clicks on an ALREADY-TRACKED frame (reference
+        sam2_video_predictor.py:262-301 + sam2_base.py track_step with
+        is_init_cond_frame=False): memory-conditioned features, then SAM
+        heads with the new clicks AND the previous mask logits
+        (prev_sam_mask_logits) as the dense prompt."""
+        mem, pos, optrs = self._stack_rows(mem_rows, pos_rows, ptr_rows)
         memory, memory_pos, memory_valid = self._assemble_memory(
             mem, pos, tpos_rows, valid, optrs, ptr_valid)
-        return self._track_core(params, fpn, pos_enc, memory, memory_pos,
-                                memory_valid, multimask, fill_area)
+        return self._track_impl(
+            params, fpn, pos_enc, memory, memory_pos, memory_valid, multimask,
+            coords if has_points else None, labels if has_points else None,
+            mask_in if has_mask else None)
+
+    def _consolidate_encode_impl(self, params, fpn, lr_stack, nonoverlap):
+        """Preflight memory encoding of a prompted frame's consolidated
+        object masks (reference _consolidate_temp_output_across_obj with
+        run_mem_encoder=True, sam2_video_predictor.py:521-539): low-res
+        masks -> image resolution -> optional non-overlap constraint ->
+        batched memory encoder with is_mask_from_pts=True."""
+        c = self.cfg
+        hr = resize_hw(lr_stack, (c.image_size, c.image_size),
+                       mode="bilinear")
+        if nonoverlap:
+            hr = apply_non_overlapping_constraints(hr)
+        return self._encode_impl(params, fpn, hr, is_pts=True)
 
     def _scan_impl(self, params, images, frame_ids, ring_mem, ring_pos,
                    ring_frame, ptr_ring, ptr_frame, cond_mem, cond_pos,
@@ -420,6 +469,17 @@ class SAM2VideoPredictor:
             "obj_id_to_idx": OrderedDict(),
             "output_dict_per_obj": {},   # obj_idx -> {"cond": {t: out}, "non_cond": {t: out}}
             "feat_cache": {},
+            # frame -> {"reverse": bool}; distinguishes initial conditioning
+            # prompts from correction clicks (reference :256-262)
+            "frames_already_tracked": {},
+            "tracking_has_started": False,
+            # prompted frames whose decode outputs still need the preflight
+            # memory-encode consolidation pass; frame -> is_cond
+            # (the reference's temp_output_dict_per_obj analogue)
+            "dirty_prompt_frames": {},
+            # prompted frames already consolidated, by storage key
+            # (reference consolidated_frame_inds)
+            "consolidated_frame_inds": {"cond": set(), "non_cond": set()},
         }
         self._get_features(state, 0)  # warm frame 0 like the reference (:104)
         return state
@@ -435,6 +495,11 @@ class SAM2VideoPredictor:
 
     def _obj_idx(self, state, obj_id):
         if obj_id not in state["obj_id_to_idx"]:
+            if state["tracking_has_started"]:
+                # reference :137-160: new objects only before tracking starts
+                raise RuntimeError(
+                    f"Cannot add new object id {obj_id} after tracking "
+                    "starts; call reset_state to restart from scratch.")
             state["obj_id_to_idx"][obj_id] = len(state["obj_id_to_idx"])
             idx = state["obj_id_to_idx"][obj_id]
             state["point_inputs_per_obj"][idx] = {}
@@ -447,12 +512,30 @@ class SAM2VideoPredictor:
                               clear_old_points=True):
         """Reference :171-318. clear_old_points=False appends the new clicks
         to the frame's existing prompts (reference misc.concat_points
-        :283-291)."""
+        :283-291). On an already-tracked frame the clicks CORRECT the
+        tracked mask (memory-conditioned decode seeded with the previous
+        logits) instead of starting a fresh conditioning frame."""
         idx = self._obj_idx(state, obj_id)
+        if (points is not None) != (labels is not None):
+            raise ValueError("points and labels must be provided together")
+        if points is None and box is None:
+            raise ValueError(
+                "at least one of points or box must be provided as input")
         s = self.cfg.image_size
         pts = np.zeros((0, 2), np.float32)
         lbl = np.zeros((0,), np.int32)
         if box is not None:
+            if not clear_old_points:
+                raise ValueError(
+                    "cannot add box without clearing old points (box must "
+                    "precede point prompts; use clear_old_points=True)")
+            if state["tracking_has_started"]:
+                import warnings
+                warnings.warn(
+                    "You are adding a box after tracking starts. SAM 2 may "
+                    "not always be able to incorporate a box prompt for "
+                    "*refinement*; for an *initial* box input, reset_state "
+                    "first.", category=UserWarning, stacklevel=2)
             box = np.asarray(box, np.float32).reshape(2, 2)
             pts = np.concatenate([pts, box], axis=0)
             lbl = np.concatenate([lbl, np.array([2, 3], np.int32)])
@@ -467,6 +550,10 @@ class SAM2VideoPredictor:
         state["mask_inputs_per_obj"][idx].pop(frame_idx, None)
         return self._interactive_predict(state, frame_idx)
 
+    def add_new_points(self, *args, **kwargs):
+        """Deprecated alias (reference :314-317)."""
+        return self.add_new_points_or_box(*args, **kwargs)
+
     def add_new_mask(self, state, frame_idx, obj_id, mask):
         """Reference :319-399; mask: [H, W] binary at image_size."""
         idx = self._obj_idx(state, obj_id)
@@ -476,13 +563,13 @@ class SAM2VideoPredictor:
         return self._interactive_predict(state, frame_idx)
 
     def _interactive_predict(self, state, frame_idx):
-        """Run the conditioning step on the prompted objects of this frame and
+        """Run the prompt decode on the prompted objects of this frame and
         return (obj_ids, low-res mask logits)."""
-        fpn, _ = self._get_features(state, frame_idx)
+        fpn, pos_enc = self._get_features(state, frame_idx)
         obj_ids, masks = [], []
         for obj_id, idx in state["obj_id_to_idx"].items():
-            out = self._run_cond_frame(state, frame_idx, idx, fpn,
-                                       run_mem=False)
+            out = self._decode_prompt_frame(state, frame_idx, idx, fpn,
+                                            pos_enc)
             if out is None:
                 continue
             obj_ids.append(obj_id)
@@ -490,12 +577,23 @@ class SAM2VideoPredictor:
         return frame_idx, obj_ids, (np.concatenate(masks)
                                     if masks else np.zeros((0, 1, 1)))
 
-    def _run_cond_frame(self, state, frame_idx, idx, fpn, run_mem=True):
+    def _decode_prompt_frame(self, state, frame_idx, idx, fpn, pos_enc):
+        """Decode one object's prompts on a frame (reference
+        add_new_points_or_box/_run_single_frame_inference, :252-301). An
+        initial conditioning frame runs the no-memory path; a frame that was
+        already tracked runs a memory-conditioned CORRECTION: the new clicks
+        plus the previous mask logits (clamped to ±32) feed the SAM heads.
+        The output is stored under "cond" or "non_cond" per
+        add_all_frames_to_correct_as_cond; memory encoding is deferred to
+        the preflight consolidation (so cross-object non-overlap applies
+        before encoding, like the reference)."""
         c = self.cfg
         pts = state["point_inputs_per_obj"][idx].get(frame_idx)
         msk = state["mask_inputs_per_obj"][idx].get(frame_idx)
         if pts is None and msk is None:
             return None
+        is_init = frame_idx not in state["frames_already_tracked"]
+        is_cond = is_init or c.add_all_frames_to_correct_as_cond
         if msk is not None and c.use_mask_input_as_output_without_sam:
             lr, hr, obj_ptr, obj_logits = self._jit_mask_as_output(
                 self.params, fpn, jnp.asarray(msk)[None])
@@ -515,24 +613,42 @@ class SAM2VideoPredictor:
                 n_pts = 0
                 has_points = False
             multimask = (c.multimask_output_in_sam
+                         and (is_init or c.multimask_output_for_tracking)
                          and c.multimask_min_pt_num <= n_pts
                          <= c.multimask_max_pt_num)
-            lr, hr, ious, obj_ptr, obj_logits = self._jit_cond(
-                self.params, fpn, coords, labels, mask_in,
-                multimask=multimask, has_points=has_points)
-        # device-resident outputs: pred_masks stays a lazy device array
-        # (the tracking loop re-reads it only for cond frames; callers that
-        # need numpy np.asarray at the edge)
+            if is_init:
+                lr, hr, ious, obj_ptr, obj_logits = self._jit_cond(
+                    self.params, fpn, coords, labels, mask_in,
+                    multimask=multimask, has_points=has_points)
+            else:
+                # correction: memory from the tracked neighborhood, previous
+                # logits as the dense prompt (reference :268-285)
+                reverse = state["frames_already_tracked"][frame_idx]["reverse"]
+                outs = state["output_dict_per_obj"][idx]
+                prev = outs["cond"].get(frame_idx,
+                                        outs["non_cond"].get(frame_idx))
+                if prev is not None and mask_in is None:
+                    prev_lr = jnp.reshape(
+                        prev["pred_masks"],
+                        (1, c.image_size // 4, c.image_size // 4))
+                    mask_in = jnp.clip(prev_lr, -32.0, 32.0)[..., None]
+                m, p, tp, v, pt, pv = self._build_memory(
+                    state, frame_idx, idx, reverse)
+                lr, hr, ious, obj_ptr, obj_logits = self._jit_correct(
+                    self.params, fpn, pos_enc, (tuple(m),), (tuple(p),),
+                    jnp.asarray(tp[None]), jnp.asarray(v[None]),
+                    (tuple(pt),), jnp.asarray(pv[None]), coords, labels,
+                    mask_in, multimask=multimask, has_points=has_points,
+                    has_mask=mask_in is not None)
         out = {"pred_masks": lr[:, 0],
                "pred_masks_high_res": hr[:, 0],
                # f32: ptr slots must all share one dtype (see _encode_impl)
                "obj_ptr": obj_ptr[0].astype(jnp.float32)}
-        if run_mem and c.num_maskmem > 0:
-            mem_feat, mem_pos = self._jit_encode(
-                self.params, fpn, hr[:, 0], is_pts=(pts is not None))
-            out["maskmem_features"] = mem_feat[0]
-            out["maskmem_pos_enc"] = mem_pos[0]
-        state["output_dict_per_obj"][idx]["cond"][frame_idx] = out
+        storage = "cond" if is_cond else "non_cond"
+        state["output_dict_per_obj"][idx][storage][frame_idx] = out
+        if is_cond:
+            state["output_dict_per_obj"][idx]["non_cond"].pop(frame_idx, None)
+        state["dirty_prompt_frames"][frame_idx] = is_cond
         return out
 
     # -------------------------------------------------------------- tracking
@@ -869,15 +985,117 @@ class SAM2VideoPredictor:
         # propagation pipeline dispatches asynchronously
         return filled
 
-    def propagate_in_video_preflight(self, state):
-        """Encode memories for all prompted (conditioning) frames
-        (reference :579-646)."""
+    def _empty_mask_ptr(self, state, frame_idx, fpn):
+        """Dummy object pointer from an empty mask on this frame (reference
+        _get_empty_mask_ptr, :542-577) — fills pointer slots of objects that
+        have no input or tracked output on a prompted frame."""
+        c = self.cfg
+        s = c.image_size
+        if c.use_mask_input_as_output_without_sam:
+            _, _, ptr, _ = self._jit_mask_as_output(
+                self.params, fpn, jnp.zeros((1, s, s), jnp.float32))
+        else:
+            emb4 = c.sam_image_embedding_size * 4
+            mask_in = jnp.zeros((1, emb4, emb4, 1), jnp.float32)
+            _, _, _, ptr, _ = self._jit_cond(
+                self.params, fpn, None, None, mask_in,
+                multimask=False, has_points=False)
+        return ptr[0].astype(jnp.float32)
+
+    def _clear_non_cond_mem_around_input(self, state, frame_idx):
+        """Drop non-conditioning memories within the maskmem lookback of a
+        prompted frame (reference :954-975) so correction clicks aren't
+        diluted by outdated surrounding appearance memories. Unlike the
+        reference's literal range-pop, the prompted frame's OWN entry is
+        kept: popping it would discard the just-consolidated correction
+        output (a latent reference crash — its demo config only exercises
+        this with add_all_frames_to_correct_as_cond, which stores the
+        correction under cond and dodges the pop)."""
+        c = self.cfg
+        r = c.memory_temporal_stride_for_eval
+        lo, hi = frame_idx - r * c.num_maskmem, frame_idx + r * c.num_maskmem
         for idx in range(len(state["obj_id_to_idx"])):
-            frames = set(state["point_inputs_per_obj"][idx]) | set(
-                state["mask_inputs_per_obj"][idx])
-            for t in sorted(frames):
-                fpn, _ = self._get_features(state, t)
-                self._run_cond_frame(state, t, idx, fpn, run_mem=True)
+            nc = state["output_dict_per_obj"][idx]["non_cond"]
+            for t in [t for t in nc if lo <= t <= hi and t != frame_idx]:
+                del nc[t]
+
+    def _should_clear_non_cond(self, state):
+        return (self.clear_non_cond_mem_around_input
+                and (self.clear_non_cond_mem_for_multi_obj
+                     or len(state["obj_id_to_idx"]) <= 1))
+
+    def propagate_in_video_preflight(self, state):
+        """Consolidate newly-prompted frames before tracking (reference
+        :579-646): for every dirty prompted frame, fill missing objects with
+        NO_OBJ_SCORE placeholder masks and empty-mask pointers, then run the
+        memory encoder over ALL objects' masks in one batch (with the
+        cross-object non-overlap constraint if configured)."""
+        state["tracking_has_started"] = True
+        c = self.cfg
+        n_obj = len(state["obj_id_to_idx"])
+        hw = c.image_size // 4
+        dirty = state["dirty_prompt_frames"]
+        for t in sorted(dirty):
+            is_cond = dirty[t]
+            storage = "cond" if is_cond else "non_cond"
+            fpn, pos_enc = self._get_features(state, t)
+            # make sure every object with inputs on this frame is decoded
+            # (add_new_* already did; this covers direct-state mutations)
+            for idx in range(n_obj):
+                outs = state["output_dict_per_obj"][idx]
+                if (t not in outs["cond"] and t not in outs["non_cond"]
+                        and (t in state["point_inputs_per_obj"][idx]
+                             or t in state["mask_inputs_per_obj"][idx])):
+                    self._decode_prompt_frame(state, t, idx, fpn, pos_enc)
+            empty_ptr = None
+            lrs = []
+            for idx in range(n_obj):
+                outs = state["output_dict_per_obj"][idx]
+                out = outs[storage].get(
+                    t, outs["cond"].get(t, outs["non_cond"].get(t)))
+                if out is None:
+                    # placeholder for an object without any input or output
+                    # on this frame (reference :475-501)
+                    if empty_ptr is None:
+                        empty_ptr = self._empty_mask_ptr(state, t, fpn)
+                    out = {"pred_masks": jnp.full((1, hw, hw), NO_OBJ_SCORE,
+                                                  jnp.float32),
+                           "obj_ptr": empty_ptr}
+                    outs[storage][t] = out
+                lrs.append(jnp.reshape(out["pred_masks"], (1, hw, hw)))
+            if c.num_maskmem > 0 and n_obj > 0:
+                nonoverlap = c.non_overlap_masks_for_mem_enc and n_obj > 1
+                mem, pos = self._jit_consolidate_encode(
+                    self.params, fpn, jnp.concatenate(lrs),
+                    nonoverlap=nonoverlap)
+                for idx in range(n_obj):
+                    out = state["output_dict_per_obj"][idx][storage][t]
+                    out["maskmem_features"] = mem[idx]
+                    out["maskmem_pos_enc"] = pos[idx]
+            state["consolidated_frame_inds"][storage].add(t)
+            if is_cond:
+                # an output promoted to cond evicts any prior non-cond
+                # output on the same frame (reference :626-632)
+                state["consolidated_frame_inds"]["non_cond"].discard(t)
+                for idx in range(n_obj):
+                    state["output_dict_per_obj"][idx]["non_cond"].pop(t, None)
+            # applied for BOTH storage keys (reference :613-618)
+            if self._should_clear_non_cond(state):
+                self._clear_non_cond_mem_around_input(state, t)
+        dirty.clear()
+
+    def reset_state(self, state):
+        """Remove all prompts, objects, and tracking results (reference
+        :770-801); the uploaded frames and feature cache stay."""
+        state["obj_id_to_idx"].clear()
+        state["point_inputs_per_obj"].clear()
+        state["mask_inputs_per_obj"].clear()
+        state["output_dict_per_obj"].clear()
+        state["frames_already_tracked"].clear()
+        state["dirty_prompt_frames"].clear()
+        state["consolidated_frame_inds"]["cond"].clear()
+        state["consolidated_frame_inds"]["non_cond"].clear()
+        state["tracking_has_started"] = False
 
     def propagate_in_video(self, state, start_frame_idx=None,
                            max_frame_num_to_track=None, reverse=False):
@@ -901,24 +1119,34 @@ class SAM2VideoPredictor:
                       state["num_frames"] - 1)
             rng = range(start_frame_idx, end + 1)
         hw = self.cfg.image_size // 4
+        inds = state["consolidated_frame_inds"]
+        prompted = inds["cond"] | inds["non_cond"]
         ts = list(rng)
         i = 0
         while i < len(ts):
             t = ts[i]
-            if t in cond_frames:
-                masks = jnp.stack([
-                    jnp.reshape(state["output_dict_per_obj"][k]["cond"][t]
-                                ["pred_masks"], (hw, hw))
-                    if t in state["output_dict_per_obj"][k]["cond"] else
-                    jnp.full((hw, hw), NO_OBJ_SCORE, jnp.float32)
-                    for k in range(len(obj_ids))])
+            if t in prompted:
+                # prompted frames keep their consolidated outputs (reference
+                # :695-705): stored per object under cond or non_cond
+                rows = []
+                for k in range(len(obj_ids)):
+                    outs = state["output_dict_per_obj"][k]
+                    out = outs["cond"].get(t, outs["non_cond"].get(t))
+                    rows.append(
+                        jnp.reshape(out["pred_masks"], (hw, hw)) if out
+                        is not None else
+                        jnp.full((hw, hw), NO_OBJ_SCORE, jnp.float32))
+                masks = jnp.stack(rows)
                 if self.cfg.fill_hole_area > 0:
                     masks = fill_holes_in_mask_scores(
                         masks, self.cfg.fill_hole_area)
+                if t in inds["cond"] and self._should_clear_non_cond(state):
+                    self._clear_non_cond_mem_around_input(state, t)
+                state["frames_already_tracked"][t] = {"reverse": reverse}
                 yield t, obj_ids, masks
                 i += 1
                 continue
-            # maximal run of consecutive non-conditioning frames: tracked by
+            # maximal run of consecutive non-prompted frames: tracked by
             # chunked device scans when eligible, per-frame otherwise
             # (_propagate_run). Per-frame yields are lazy device arrays
             # (fetching here would fence every frame on the submit->fetch
@@ -926,8 +1154,9 @@ class SAM2VideoPredictor:
             # frame's compute); scan chunks yield numpy views of one
             # whole-chunk fetch that already overlapped the next chunk.
             j = i
-            while j < len(ts) and ts[j] not in cond_frames:
+            while j < len(ts) and ts[j] not in prompted:
                 j += 1
             for t2, masks in self._propagate_run(state, ts[i:j], reverse):
+                state["frames_already_tracked"][t2] = {"reverse": reverse}
                 yield t2, obj_ids, masks
             i = j

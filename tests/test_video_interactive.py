@@ -1,0 +1,198 @@
+"""Interactive video-predictor API semantics (reference
+sam2/sam2_video_predictor.py): correction clicks on already-tracked frames,
+reset_state, non-cond memory clearing, prompt validation, and multi-object
+consolidation placeholders. Numeric parity of the correction path vs the
+torch oracle lives in test_video_predictor.py; these tests pin the host-side
+state-machine behavior on a tiny config."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from no_time_to_train_tpu.config.presets import Sam2Config
+from no_time_to_train_tpu.models.sam2.model import SAM2, NO_OBJ_SCORE
+from no_time_to_train_tpu.models.sam2.video import SAM2VideoPredictor
+
+IMG = 128
+
+
+def _tiny_cfg(**kw):
+    return Sam2Config(
+        embed_dim=32, num_heads=1, stages=(1, 1, 1, 1),
+        global_att_blocks=(2,), window_pos_embed_bkg_spatial_size=(2, 2),
+        window_spec=(4, 2, 4, 2), backbone_channel_list=(256, 128, 64, 32),
+        image_size=IMG, fill_hole_area=0, **kw)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = _tiny_cfg()
+    model = SAM2(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, IMG, IMG, 3)),
+                        method=model.init_everything)["params"]
+    return model, params
+
+
+def _make_pred(tiny_model, **kw):
+    model, params = tiny_model
+    cfg_kw = {k: kw.pop(k) for k in list(kw)
+              if k in ("add_all_frames_to_correct_as_cond",)}
+    if cfg_kw:
+        model = SAM2(dataclasses.replace(model.cfg, **cfg_kw))
+    return SAM2VideoPredictor(model, params, **kw)
+
+
+def _frames(T, seed=3):
+    rng = np.random.default_rng(seed)
+    frames = rng.random((T, IMG, IMG, 3)).astype(np.float32)
+    for t in range(T):
+        x0 = 10 + 3 * t
+        frames[t, 40:90, x0:x0 + 40] = 0.9
+    return frames
+
+
+def _track_all(pred, state, **kw):
+    return {t: np.asarray(m) for t, _, m in
+            pred.propagate_in_video(state, **kw)}
+
+
+def test_correction_click_updates_tracking(tiny_model):
+    pred = _make_pred(tiny_model)
+    pred.scan_chunk = 0
+    frames = _frames(6)
+    state = pred.init_state(frames)
+    pred.add_new_points_or_box(state, 0, 1,
+                               points=np.array([[30.0, 60.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    first = _track_all(pred, state)
+    assert set(state["frames_already_tracked"]) == set(range(6))
+
+    # correction click on tracked frame 3: stored under non_cond by default
+    pred.add_new_points_or_box(
+        state, 3, 1,
+        points=np.array([[30.0, 60.0], [100.0, 30.0]], np.float32),
+        labels=np.array([1, 0], np.int32))
+    outs = state["output_dict_per_obj"][0]
+    assert 3 in outs["non_cond"] and 3 not in outs["cond"]
+    assert state["dirty_prompt_frames"] == {3: False}
+
+    second = _track_all(pred, state, start_frame_idx=3)
+    # the prompted frame's yield is the stored corrected output
+    corrected = np.asarray(
+        jnp.reshape(outs["non_cond"][3]["pred_masks"], second[3].shape[1:]))
+    np.testing.assert_allclose(second[3][0], corrected, atol=1e-5)
+    # the correction must differ from the plain tracked output and change
+    # the frames tracked after it
+    assert not np.allclose(second[3], first[3], atol=1e-3)
+    assert not np.allclose(second[4], first[4], atol=1e-3)
+    assert 3 in state["consolidated_frame_inds"]["non_cond"]
+    # consolidation attached fresh memory to the corrected frame
+    assert "maskmem_features" in outs["non_cond"][3]
+
+
+def test_add_all_frames_to_correct_as_cond(tiny_model):
+    pred = _make_pred(tiny_model, add_all_frames_to_correct_as_cond=True)
+    pred.scan_chunk = 0
+    state = pred.init_state(_frames(5))
+    pred.add_new_points_or_box(state, 0, 1,
+                               points=np.array([[30.0, 60.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    _track_all(pred, state)
+    pred.add_new_points_or_box(state, 2, 1,
+                               points=np.array([[36.0, 60.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    outs = state["output_dict_per_obj"][0]
+    assert 2 in outs["cond"] and 2 not in outs["non_cond"]
+    _track_all(pred, state, start_frame_idx=2)
+    assert 2 in state["consolidated_frame_inds"]["cond"]
+
+
+def test_clear_non_cond_mem_around_input(tiny_model):
+    pred = _make_pred(tiny_model, clear_non_cond_mem_around_input=True)
+    pred.scan_chunk = 0
+    pred.history_window = 0  # keep every entry so the clearing is observable
+    state = pred.init_state(_frames(6))
+    pred.add_new_points_or_box(state, 0, 1,
+                               points=np.array([[30.0, 60.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    _track_all(pred, state)
+    nc = state["output_dict_per_obj"][0]["non_cond"]
+    assert set(nc) == set(range(1, 6))
+    pred.add_new_points_or_box(state, 3, 1,
+                               points=np.array([[100.0, 30.0]], np.float32),
+                               labels=np.array([0], np.int32))
+    pred.propagate_in_video_preflight(state)
+    # all non-cond memories in the +-num_maskmem window cleared except the
+    # corrected frame's own consolidated output
+    assert set(nc) == {3}
+    assert "maskmem_features" in nc[3]
+
+
+def test_reset_state_and_new_object_guard(tiny_model):
+    pred = _make_pred(tiny_model)
+    state = pred.init_state(_frames(4))
+    pred.add_new_points(state, 0, 1,
+                        points=np.array([[30.0, 60.0]], np.float32),
+                        labels=np.array([1], np.int32))
+    _track_all(pred, state)
+    with pytest.raises(RuntimeError, match="after tracking starts"):
+        pred.add_new_points_or_box(
+            state, 0, 2, points=np.array([[50.0, 50.0]], np.float32),
+            labels=np.array([1], np.int32))
+    pred.reset_state(state)
+    assert not state["obj_id_to_idx"] and not state["output_dict_per_obj"]
+    assert not state["tracking_has_started"]
+    assert not state["frames_already_tracked"]
+    # a fresh session over the same (still-uploaded) frames works
+    pred.add_new_points_or_box(state, 1, 2,
+                               points=np.array([[33.0, 60.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    masks = _track_all(pred, state)
+    assert set(masks) == set(range(1, 4))
+
+
+def test_prompt_validation(tiny_model):
+    pred = _make_pred(tiny_model)
+    state = pred.init_state(_frames(3))
+    with pytest.raises(ValueError, match="provided together"):
+        pred.add_new_points_or_box(
+            state, 0, 1, points=np.array([[1.0, 1.0]], np.float32))
+    with pytest.raises(ValueError, match="at least one"):
+        pred.add_new_points_or_box(state, 0, 1)
+    with pytest.raises(ValueError, match="clearing old points"):
+        pred.add_new_points_or_box(
+            state, 0, 1, box=np.array([10, 10, 60, 60], np.float32),
+            clear_old_points=False)
+    pred.add_new_points_or_box(state, 0, 1,
+                               box=np.array([10, 40, 50, 90], np.float32))
+    _track_all(pred, state)
+    with pytest.warns(UserWarning, match="box after tracking"):
+        pred.add_new_points_or_box(state, 1, 1,
+                                   box=np.array([10, 40, 50, 90], np.float32))
+
+
+def test_multi_object_placeholder_consolidation(tiny_model):
+    """Objects prompted on DIFFERENT frames: consolidation fills the missing
+    object on each prompted frame with a NO_OBJ_SCORE mask memory and an
+    empty-mask pointer (reference _consolidate_temp_output_across_obj)."""
+    pred = _make_pred(tiny_model)
+    pred.scan_chunk = 0
+    state = pred.init_state(_frames(5))
+    pred.add_new_points_or_box(state, 0, 1,
+                               points=np.array([[30.0, 60.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    pred.add_new_points_or_box(state, 2, 2,
+                               points=np.array([[100.0, 30.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    masks = _track_all(pred, state)
+    assert all(m.shape[0] == 2 for m in masks.values())
+    # obj 2 (idx 1) got a placeholder cond entry on frame 0, and vice versa
+    for idx, t in ((1, 0), (0, 2)):
+        out = state["output_dict_per_obj"][idx]["cond"][t]
+        assert "maskmem_features" in out
+        assert np.all(np.asarray(out["pred_masks"]) == NO_OBJ_SCORE)
+    # placeholder masks render as NO_OBJ_SCORE in the prompted-frame yield
+    assert np.all(masks[0][1] <= NO_OBJ_SCORE + 1e-6)
