@@ -440,7 +440,7 @@ class SAM2VideoPredictor:
         mask_ds = self.model.apply(
             {"params": params}, hr[..., None].astype(self.model.dtype),
             method=lambda m, x: m.mask_downsample(x))
-        heads = self._heads(self.params, pix, None, None, mask_ds, hrf, False)
+        heads = self._heads(params, pix, None, None, mask_ds, hrf, False)
         obj_ptr = heads[3]
         is_obj = jnp.any(mask_inputs.reshape(b, -1) > 0, axis=1)[:, None]
         lam = is_obj.astype(jnp.float32)
@@ -448,7 +448,7 @@ class SAM2VideoPredictor:
         if c.pred_obj_scores and c.fixed_no_obj_ptr:
             obj_ptr = lam * obj_ptr
             obj_ptr = obj_ptr + (1 - lam) * self.model.apply(
-                {"params": self.params}, method=lambda m: m.no_obj_ptr)
+                {"params": params}, method=lambda m: m.no_obj_ptr)
         return lr, hr, obj_ptr, obj_score_logits
 
     # ------------------------------------------------------------- host API

@@ -174,6 +174,33 @@ def test_prompt_validation(tiny_model):
                                    box=np.array([10, 40, 50, 90], np.float32))
 
 
+def test_mask_prompt_tracking(tiny_model):
+    """add_new_mask with use_mask_input_as_output_without_sam (the default):
+    the prompted frame yields the mask-as-output logits (scale 20, bias -10,
+    reference sam2_base.py:457-507) and propagation tracks from its encoded
+    memory."""
+    pred = _make_pred(tiny_model)
+    pred.scan_chunk = 0
+    state = pred.init_state(_frames(4))
+    gt = np.zeros((IMG, IMG), np.float32)
+    gt[40:90, 10:50] = 1.0
+    fidx, obj_ids, masks = pred.add_new_mask(state, 0, 1, gt)
+    assert fidx == 0 and obj_ids == [1]
+    hw = IMG // 4
+    assert masks.shape == (1, hw, hw)
+    tracked = _track_all(pred, state)
+    assert set(tracked) == set(range(4))
+    # prompted-frame yield equals the stored mask-as-output logits, which
+    # binarize back to (a downsample of) the input mask
+    got = tracked[0][0] > 0
+    want = np.asarray(gt[::4, ::4] > 0.5)
+    inter, union = (got & want).sum(), (got | want).sum()
+    assert inter / union > 0.8
+    # later frames track a real (finite-logit) mask
+    assert np.isfinite(tracked[2]).all()
+    assert (tracked[2] > 0).sum() > 0
+
+
 def test_multi_object_placeholder_consolidation(tiny_model):
     """Objects prompted on DIFFERENT frames: consolidation fills the missing
     object on each prompted frame with a NO_OBJ_SCORE mask memory and an
