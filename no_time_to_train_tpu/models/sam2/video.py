@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from no_time_to_train_tpu.models.sam2.model import SAM2, NO_OBJ_SCORE
+from no_time_to_train_tpu.ops.resize import resize_hw
 
 
 def apply_non_overlapping_constraints(pred_masks):
@@ -64,7 +65,8 @@ def select_closest_cond_frames(frame_idx, cond_frame_outputs, max_cond_frame_num
 class SAM2VideoPredictor:
     def __init__(self, model: SAM2, params,
                  clear_non_cond_mem_around_input=False,
-                 clear_non_cond_mem_for_multi_obj=False):
+                 clear_non_cond_mem_for_multi_obj=False,
+                 non_overlap_masks=False):
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -72,6 +74,9 @@ class SAM2VideoPredictor:
         # sam2_video_predictor.py:21-37)
         self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
         self.clear_non_cond_mem_for_multi_obj = clear_non_cond_mem_for_multi_obj
+        # apply cross-object non-overlap to final video-res outputs
+        # (reference :33, used in _get_orig_video_res_output :420-421)
+        self.non_overlap_masks = non_overlap_masks
         c = self.cfg
         self._feat_hw = c.sam_image_embedding_size
         self._n_feat = self._feat_hw * self._feat_hw
@@ -93,6 +98,8 @@ class SAM2VideoPredictor:
             self._scan_impl,
             static_argnames=("multimask", "fill_area", "reverse"))
         self._jit_unstack = jax.jit(self._unstack_impl)
+        self._jit_video_res = jax.jit(
+            self._video_res_impl, static_argnames=("hw", "nonoverlap"))
         # Chunked-scan tracking: frames per device dispatch inside
         # propagate_in_video (see _scan_plan). 0 disables (pure per-frame).
         self.scan_chunk = 8
@@ -410,6 +417,16 @@ class SAM2VideoPredictor:
                     for i in range(a.shape[0])]
         return split(lr), split(obj_ptr), split(mem_feat), split(mem_pos)
 
+    def _video_res_impl(self, masks, hw, nonoverlap):
+        """Low-res mask logits [B, h, w] -> original video resolution
+        (reference _get_orig_video_res_output, sam2_video_predictor.py
+        :402-422: bilinear align_corners=False upsample + optional
+        cross-object non-overlap constraint on the final outputs)."""
+        up = resize_hw(masks.astype(jnp.float32), hw)
+        if nonoverlap:
+            up = apply_non_overlapping_constraints(up)
+        return up
+
     def _encode_impl(self, params, fpn, high_res_masks, is_pts):
         b = high_res_masks.shape[0]
         feats = fpn[-1]
@@ -452,18 +469,27 @@ class SAM2VideoPredictor:
         return lr, hr, obj_ptr, obj_score_logits
 
     # ------------------------------------------------------------- host API
-    def init_state(self, images, store_on_device=True):
+    def init_state(self, images, store_on_device=True,
+                   video_height=None, video_width=None):
         """images: [T, H, W, 3] float in [0,1] (already square-resized to
         cfg.image_size by the loader). With store_on_device (default) the
         whole clip uploads ONCE and per-frame feature extraction slices it
         device-side — the per-frame host upload was the video loop's
         dominant cost over a remote-TPU link (the reference's inverse knob
-        is offload_video_to_cpu, sam2_video_predictor.py)."""
+        is offload_video_to_cpu, sam2_video_predictor.py).
+
+        video_height/video_width: the ORIGINAL video resolution (before the
+        loader's square model resize), used by get_orig_video_res_output /
+        propagate_in_video(output_video_res=True) — the reference stores
+        these from the raw frames (:40-110). load_video_frames returns
+        them; defaults to the model input size."""
         images = np.asarray(images, np.float32)
         assert images.shape[1] == images.shape[2] == self.cfg.image_size
         state = {
             "images": jax.device_put(images) if store_on_device else images,
             "num_frames": len(images),
+            "video_height": int(video_height or self.cfg.image_size),
+            "video_width": int(video_width or self.cfg.image_size),
             "point_inputs_per_obj": {},
             "mask_inputs_per_obj": {},
             "obj_id_to_idx": OrderedDict(),
@@ -1097,9 +1123,31 @@ class SAM2VideoPredictor:
         state["consolidated_frame_inds"]["non_cond"].clear()
         state["tracking_has_started"] = False
 
+    def get_orig_video_res_output(self, state, masks):
+        """(low_res_masks, video_res_masks) at the original video resolution —
+        reference _get_orig_video_res_output (:402-422). masks: [B, h, w]
+        logits (device or numpy). The upsample (+ optional non_overlap_masks
+        constraint) runs on device; the result is a lazy device array so a
+        consumer that only thresholds a crop doesn't pay a full-res fetch."""
+        masks = jnp.asarray(masks)
+        hw = (state["video_height"], state["video_width"])
+        if masks.shape[-2:] == hw and not self.non_overlap_masks:
+            return masks, masks
+        return masks, self._jit_video_res(masks, hw=hw,
+                                          nonoverlap=self.non_overlap_masks)
+
     def propagate_in_video(self, state, start_frame_idx=None,
-                           max_frame_num_to_track=None, reverse=False):
-        """Generator over (frame_idx, obj_ids, low-res mask logits [B, H, W])."""
+                           max_frame_num_to_track=None, reverse=False,
+                           output_video_res=False):
+        """Generator over (frame_idx, obj_ids, mask logits [B, H, W]).
+
+        Default yields are LOW-RES (image_size/4) logits — the TPU-first
+        contract: tracked frames come out of the chunked scan as one
+        whole-chunk fetch, and most consumers (eval IoU, matching) score at
+        low res anyway (fetching 16x fewer bytes over a remote link).
+        output_video_res=True matches the reference's yield exactly
+        (video-resolution upsample + optional non-overlap, :724-739), as
+        lazy device arrays."""
         self.propagate_in_video_preflight(state)
         obj_ids = list(state["obj_id_to_idx"].keys())
         cond_frames = set()
@@ -1143,6 +1191,8 @@ class SAM2VideoPredictor:
                 if t in inds["cond"] and self._should_clear_non_cond(state):
                     self._clear_non_cond_mem_around_input(state, t)
                 state["frames_already_tracked"][t] = {"reverse": reverse}
+                if output_video_res:
+                    masks = self.get_orig_video_res_output(state, masks)[1]
                 yield t, obj_ids, masks
                 i += 1
                 continue
@@ -1158,5 +1208,7 @@ class SAM2VideoPredictor:
                 j += 1
             for t2, masks in self._propagate_run(state, ts[i:j], reverse):
                 state["frames_already_tracked"][t2] = {"reverse": reverse}
+                if output_video_res:
+                    masks = self.get_orig_video_res_output(state, masks)[1]
                 yield t2, obj_ids, masks
             i = j

@@ -223,3 +223,56 @@ def test_multi_object_placeholder_consolidation(tiny_model):
         assert np.all(np.asarray(out["pred_masks"]) == NO_OBJ_SCORE)
     # placeholder masks render as NO_OBJ_SCORE in the prompted-frame yield
     assert np.all(masks[0][1] <= NO_OBJ_SCORE + 1e-6)
+
+
+def test_output_video_res(tiny_model):
+    """propagate_in_video(output_video_res=True) matches the reference's
+    video-resolution yield (_get_orig_video_res_output, sam2_video_predictor
+    .py:402-422): bilinear upsample of the low-res logits to the ORIGINAL
+    video H/W, plus the cross-object non-overlap constraint when the
+    predictor is built with non_overlap_masks=True. Covers both the
+    per-frame and the chunked-scan yield paths."""
+    from no_time_to_train_tpu.models.sam2.video import (
+        apply_non_overlapping_constraints)
+    from no_time_to_train_tpu.ops.resize import resize_hw
+
+    vh, vw = 96, 200
+    prompts = [(1, [30.0, 60.0]), (2, [60.0, 70.0])]
+
+    def run(pred, scan, **kw):
+        state = pred.init_state(_frames(9), video_height=vh, video_width=vw)
+        pred.scan_chunk = scan
+        for oid, pt in prompts:
+            pred.add_new_points_or_box(
+                state, 0, oid, points=np.array([pt], np.float32),
+                labels=np.array([1], np.int32))
+        return _track_all(pred, state, **kw)
+
+    pred = _make_pred(tiny_model)
+    for scan in (0, 4):
+        low = run(pred, scan)
+        full = run(pred, scan, output_video_res=True)
+        assert set(low) == set(full) == set(range(9))
+        for t in low:
+            assert full[t].shape == (2, vh, vw)
+            want = np.asarray(resize_hw(jnp.asarray(low[t]), (vh, vw)))
+            np.testing.assert_allclose(full[t], want, atol=1e-5)
+
+    # non_overlap_masks=True applies the constraint AFTER the upsample
+    pred_no = _make_pred(tiny_model, non_overlap_masks=True)
+    low = run(pred_no, 0)
+    constrained = run(pred_no, 0, output_video_res=True)
+    t = 5
+    up = resize_hw(jnp.asarray(low[t]), (vh, vw))
+    want = np.asarray(apply_non_overlapping_constraints(up))
+    np.testing.assert_allclose(constrained[t], want, atol=1e-5)
+    # at most one object above the clip ceiling per pixel
+    assert ((constrained[t] > -10.0).sum(axis=0) <= 1).all()
+
+    # identity shortcut: masks already at video res, no constraint
+    pred2 = _make_pred(tiny_model)
+    state = pred2.init_state(_frames(3), video_height=IMG // 4,
+                             video_width=IMG // 4)
+    m = jnp.zeros((1, IMG // 4, IMG // 4))
+    any_res, video_res = pred2.get_orig_video_res_output(state, m)
+    assert video_res is any_res
