@@ -31,7 +31,8 @@ from no_time_to_train_tpu.models.sam2.neck import FpnNeck  # noqa: E402
 from no_time_to_train_tpu.models.sam2.prompt_encoder import PromptEncoder  # noqa: E402
 from no_time_to_train_tpu.models.sam2.transformer import TwoWayTransformer  # noqa: E402
 from no_time_to_train_tpu.models.sam2.mask_decoder import MaskDecoder  # noqa: E402
-from no_time_to_train_tpu.models.sam2.memory_encoder import MemoryEncoder  # noqa: E402
+from no_time_to_train_tpu.models.sam2.memory_encoder import (  # noqa: E402
+    MemoryEncoder, MaskDownSampler as MEMaskDownSampler)
 from no_time_to_train_tpu.models.sam2.memory_attention import MemoryAttention  # noqa: E402
 from no_time_to_train_tpu.models.sam2 import pos_enc  # noqa: E402
 from no_time_to_train_tpu.utils import torch_convert as tc  # noqa: E402
@@ -362,3 +363,49 @@ def test_gelu_dispatch_numerics():
     bound = 4e-3 + np.abs(np.asarray(x32)) * 2.0 ** -7
     assert float(jnp.abs(y16 - exact).max()) < 0.5  # sanity
     np.testing.assert_array_less(np.abs(np.asarray(y16 - exact)), bound)
+
+
+def _downsampler_params(t, num_layers):
+    sd = tc.torch_sd_to_numpy(t)
+    mds = {}
+    for i in range(num_layers):
+        mds[f"encoder_{3 * i}"] = tc._conv(sd, f"encoder.{3 * i}")
+        mds[f"encoder_{3 * i + 1}"] = tc._ln(sd, f"encoder.{3 * i + 1}")
+    mds[f"encoder_{3 * num_layers}"] = tc._conv(sd, f"encoder.{3 * num_layers}")
+    return mds
+
+
+def test_mask_downsampler_default_config():
+    """The reference MaskDownSampler defaults (k=4, s=4, p=0: two 1->16->256
+    levels) take the nn.Conv fallback branch of the flax module — parity."""
+    t = _seed_all(TMaskDownSampler(embed_dim=32, kernel_size=4, stride=4,
+                                   padding=0).eval())
+    g = torch.Generator().manual_seed(3)
+    mask = torch.randn(2, 1, 64, 64, generator=g)
+    with torch.no_grad():
+        ref = t(mask)
+    m = MEMaskDownSampler(embed_dim=32)  # module defaults = k4/s4/p0
+    params = _downsampler_params(t, num_layers=2)
+    got = m.apply({"params": params},
+                  jnp.asarray(mask.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_mask_downsampler_odd_dims_mixed_path():
+    """k=3/s=2/p=1 at mask size 72 goes 72->36->18->9: three channel-leading
+    GEMM levels then an ODD-dim level that must transpose back to NHWC and
+    fall back to nn.Conv mid-pyramid — parity across the transition."""
+    t = _seed_all(TMaskDownSampler(embed_dim=32, kernel_size=3, stride=2,
+                                   padding=1).eval(), seed=5)
+    g = torch.Generator().manual_seed(5)
+    mask = torch.randn(1, 1, 72, 72, generator=g)
+    with torch.no_grad():
+        ref = t(mask)
+    m = MEMaskDownSampler(embed_dim=32, kernel_size=3, stride=2, padding=1)
+    params = _downsampler_params(t, num_layers=4)
+    got = m.apply({"params": params},
+                  jnp.asarray(mask.numpy().transpose(0, 2, 3, 1)))
+    assert got.shape[1:3] == ref.shape[2:]  # odd-dim conv arithmetic matches
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=5e-4, rtol=1e-3)
