@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from no_time_to_train_tpu.models.sam2.model import SAM2, NO_OBJ_SCORE
 from no_time_to_train_tpu.ops.resize import resize_hw
+from no_time_to_train_tpu.ops.connected_components import fill_holes_in_mask_scores
 
 
 def apply_non_overlapping_constraints(pred_masks):
@@ -35,8 +36,6 @@ def apply_non_overlapping_constraints(pred_masks):
     batch_obj = jnp.arange(pred_masks.shape[0])[:, None, None]
     keep = max_obj == batch_obj
     return jnp.where(keep, pred_masks, jnp.clip(pred_masks, max=-10.0))
-from no_time_to_train_tpu.ops.resize import resize, resize_hw
-from no_time_to_train_tpu.ops.connected_components import fill_holes_in_mask_scores
 
 
 def select_closest_cond_frames(frame_idx, cond_frame_outputs, max_cond_frame_num):
@@ -100,6 +99,8 @@ class SAM2VideoPredictor:
         self._jit_unstack = jax.jit(self._unstack_impl)
         self._jit_video_res = jax.jit(
             self._video_res_impl, static_argnames=("hw", "nonoverlap"))
+        self._jit_video_res_chunk = jax.jit(
+            self._video_res_chunk_impl, static_argnames=("hw", "nonoverlap"))
         # Chunked-scan tracking: frames per device dispatch inside
         # propagate_in_video (see _scan_plan). 0 disables (pure per-frame).
         self.scan_chunk = 8
@@ -427,6 +428,16 @@ class SAM2VideoPredictor:
             up = apply_non_overlapping_constraints(up)
         return up
 
+    def _video_res_chunk_impl(self, masks, hw, nonoverlap):
+        """_video_res_impl over a whole scan chunk [CH, b, h, w] in one
+        dispatch, so output_video_res on the chunked-scan path never
+        round-trips low-res masks through the host (fetch + re-upload +
+        per-frame dispatch RPC over the remote link)."""
+        up = resize_hw(masks.astype(jnp.float32), hw)
+        if nonoverlap:
+            up = jax.vmap(apply_non_overlapping_constraints)(up)
+        return up
+
     def _encode_impl(self, params, fpn, high_res_masks, is_pts):
         b = high_res_masks.shape[0]
         feats = fpn[-1]
@@ -574,7 +585,7 @@ class SAM2VideoPredictor:
             lbl = np.concatenate([old[1], lbl], axis=0)
         state["point_inputs_per_obj"][idx][frame_idx] = (pts, lbl)
         state["mask_inputs_per_obj"][idx].pop(frame_idx, None)
-        return self._interactive_predict(state, frame_idx)
+        return self._interactive_predict(state, frame_idx, idx)
 
     def add_new_points(self, *args, **kwargs):
         """Deprecated alias (reference :314-317)."""
@@ -586,16 +597,29 @@ class SAM2VideoPredictor:
         state["mask_inputs_per_obj"][idx][frame_idx] = \
             np.asarray(mask, np.float32)
         state["point_inputs_per_obj"][idx].pop(frame_idx, None)
-        return self._interactive_predict(state, frame_idx)
+        return self._interactive_predict(state, frame_idx, idx)
 
-    def _interactive_predict(self, state, frame_idx):
-        """Run the prompt decode on the prompted objects of this frame and
-        return (obj_ids, low-res mask logits)."""
+    def _interactive_predict(self, state, frame_idx, target_idx):
+        """Decode the NEWLY prompted object on this frame and combine it
+        with the other prompted objects' STORED outputs. The reference
+        decodes only the clicked object (sam2_video_predictor.py:252-301);
+        re-decoding the others would both waste a dispatch per object and,
+        on the correction path, mutate their stored outputs with no new
+        input (the previous logits feed back as the dense prompt)."""
         fpn, pos_enc = self._get_features(state, frame_idx)
         obj_ids, masks = [], []
         for obj_id, idx in state["obj_id_to_idx"].items():
-            out = self._decode_prompt_frame(state, frame_idx, idx, fpn,
-                                            pos_enc)
+            if idx == target_idx:
+                out = self._decode_prompt_frame(state, frame_idx, idx, fpn,
+                                                pos_enc)
+            elif (state["point_inputs_per_obj"][idx].get(frame_idx) is None
+                  and state["mask_inputs_per_obj"][idx].get(frame_idx)
+                  is None):
+                out = None
+            else:
+                outs = state["output_dict_per_obj"][idx]
+                out = outs["cond"].get(frame_idx,
+                                       outs["non_cond"].get(frame_idx))
             if out is None:
                 continue
             obj_ids.append(obj_id)
@@ -696,7 +720,7 @@ class SAM2VideoPredictor:
                     and c.multimask_output_for_tracking
                     and c.multimask_min_pt_num <= 0 <= c.multimask_max_pt_num)
 
-    def _scan_plan(self, state, run, reverse):
+    def _scan_plan(self, state, run, reverse, video_res=False):
         """Return a generator tracking `run` (consecutive non-cond frames, in
         propagation order) via chunked scans — a partial last chunk is padded
         with -1 frame ids and runs through the same compiled scan — or None
@@ -824,38 +848,57 @@ class SAM2VideoPredictor:
             nonlocal carry
             recent = []
             pend = None   # previous chunk's (frames, filled device array)
+            wrote_back = False
             n_chunks = -(-len(run) // CH)
-            for k in range(n_chunks):
-                chunk = run[k * CH:(k + 1) * CH]
-                # a partial tail chunk reuses the SAME compiled scan: pad the
-                # frame ids with -1 (runtime-skipped steps, _scan_impl)
-                ids_np = np.full((CH,), -1, np.int32)
-                ids_np[: len(chunk)] = chunk
-                ids = jnp.asarray(ids_np)
-                carry, outs = self._jit_scan(
-                    self.params, state["images"], ids, *carry,
-                    cond_mem, cond_pos, jnp.asarray(cond_val),
-                    cond_ptrs, jnp.asarray(cond_ptr_val), tpos_a,
-                    multimask=multimask, fill_area=c.fill_hole_area,
-                    reverse=reverse)
-                recent.append((chunk, outs))
-                del recent[:-keep]
-                # chunk k yields only after chunk k+1 is dispatched, and as
-                # numpy views of ONE whole-chunk fetch: per-frame lazy slices
-                # would cost a slice RPC + a fetch RPC per frame over the
-                # remote link, serialized against an idle device (the next
-                # chunk isn't submitted until the consumer drains)
+            try:
+                for k in range(n_chunks):
+                    chunk = run[k * CH:(k + 1) * CH]
+                    # a partial tail chunk reuses the SAME compiled scan: pad
+                    # the frame ids with -1 (runtime-skipped, _scan_impl)
+                    ids_np = np.full((CH,), -1, np.int32)
+                    ids_np[: len(chunk)] = chunk
+                    ids = jnp.asarray(ids_np)
+                    carry, outs = self._jit_scan(
+                        self.params, state["images"], ids, *carry,
+                        cond_mem, cond_pos, jnp.asarray(cond_val),
+                        cond_ptrs, jnp.asarray(cond_ptr_val), tpos_a,
+                        multimask=multimask, fill_area=c.fill_hole_area,
+                        reverse=reverse)
+                    recent.append((chunk, outs))
+                    del recent[:-keep]
+                    # chunk k yields only after chunk k+1 is dispatched, and
+                    # as numpy views of ONE whole-chunk fetch: per-frame lazy
+                    # slices would cost a slice RPC + a fetch RPC per frame
+                    # over the remote link, serialized against an idle device
+                    # (the next chunk isn't submitted until the consumer
+                    # drains)
+                    if pend is not None:
+                        for t, m in zip(pend[0], np.asarray(pend[1])):
+                            yield t, m
+                    filled = outs[4]
+                    if video_res:
+                        filled = self._jit_video_res_chunk(
+                            filled,
+                            hw=(state["video_height"],
+                                state["video_width"]),
+                            nonoverlap=self.non_overlap_masks)
+                    pend = (chunk, filled)
+                # per-frame dict entries for the lookback tail, so the
+                # per-frame path (partial last chunk, later propagate calls)
+                # sees history; dispatched async BEFORE the final chunk's
+                # fetch blocks on it
+                self._scan_writeback(state, recent)
+                wrote_back = True
                 if pend is not None:
                     for t, m in zip(pend[0], np.asarray(pend[1])):
                         yield t, m
-                pend = (chunk, outs[4])
-            # per-frame dict entries for the lookback tail, so the per-frame
-            # path (partial last chunk, later propagate calls) sees history;
-            # dispatched async BEFORE the final chunk's fetch blocks on it
-            self._scan_writeback(state, recent)
-            if pend is not None:
-                for t, m in zip(pend[0], np.asarray(pend[1])):
-                    yield t, m
+            finally:
+                # a consumer abandoning the generator mid-run (break /
+                # GC-close at a yield) must still get non_cond entries for
+                # the frames already yielded, or a later correction click /
+                # resumed propagate on them would see an empty memory bank
+                if not wrote_back:
+                    self._scan_writeback(state, recent)
         return gen()
 
     def _scan_writeback(self, state, recent):
@@ -887,15 +930,20 @@ class SAM2VideoPredictor:
             for t in [t for t in nc if abs(t - last) > w]:
                 del nc[t]
 
-    def _propagate_run(self, state, run, reverse):
+    def _propagate_run(self, state, run, reverse, video_res=False):
         """Track one maximal run of consecutive non-conditioning frames,
-        yielding (frame_idx, filled low-res masks [b, H, W])."""
-        scan = self._scan_plan(state, run, reverse)
+        yielding (frame_idx, filled mask logits [b, H, W]) — low-res by
+        default, original video resolution when video_res is set (the scan
+        path converts whole chunks on device; see _video_res_chunk_impl)."""
+        scan = self._scan_plan(state, run, reverse, video_res)
         if scan is not None:
             yield from scan
             return
         for t in run:
-            yield t, self._track_frame(state, t, reverse)
+            m = self._track_frame(state, t, reverse)
+            if video_res:
+                m = self.get_orig_video_res_output(state, m)[1]
+            yield t, m
 
     def _build_memory(self, state, frame_idx, idx, reverse=False):
         """Assemble the fixed-layout memory for one object (sam2_base.py
@@ -931,7 +979,9 @@ class SAM2VideoPredictor:
         # Rows are handed RAW to the fused track jit (stack/reshape/
         # temporal-pos add happen in-program); host builds only the tiny
         # validity flags and the temporal-pos row table.
-        n_rows = slots + len(sel_cond)
+        # rows = cond frames + the num_maskmem-1 lookback slots (entries has
+        # exactly that many; the scan path sizes its ring the same way)
+        n_rows = max(1, len(entries))
         self._ensure_consts()
         zero = self._zero_tok
         valid = np.zeros((n_rows,), bool)
@@ -1146,8 +1196,10 @@ class SAM2VideoPredictor:
         whole-chunk fetch, and most consumers (eval IoU, matching) score at
         low res anyway (fetching 16x fewer bytes over a remote link).
         output_video_res=True matches the reference's yield exactly
-        (video-resolution upsample + optional non-overlap, :724-739), as
-        lazy device arrays."""
+        (video-resolution upsample + optional non-overlap, :724-739): the
+        upsample runs on device — whole chunks at a time on the scan path
+        (yielded as numpy views of one chunk fetch), lazy device arrays on
+        the per-frame paths."""
         self.propagate_in_video_preflight(state)
         obj_ids = list(state["obj_id_to_idx"].keys())
         cond_frames = set()
@@ -1206,9 +1258,8 @@ class SAM2VideoPredictor:
             j = i
             while j < len(ts) and ts[j] not in prompted:
                 j += 1
-            for t2, masks in self._propagate_run(state, ts[i:j], reverse):
+            for t2, masks in self._propagate_run(state, ts[i:j], reverse,
+                                                 output_video_res):
                 state["frames_already_tracked"][t2] = {"reverse": reverse}
-                if output_video_res:
-                    masks = self.get_orig_video_res_output(state, masks)[1]
                 yield t2, obj_ids, masks
             i = j

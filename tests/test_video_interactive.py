@@ -276,3 +276,59 @@ def test_output_video_res(tiny_model):
     m = jnp.zeros((1, IMG // 4, IMG // 4))
     any_res, video_res = pred2.get_orig_video_res_output(state, m)
     assert video_res is any_res
+
+
+def test_scan_abandon_writes_back(tiny_model):
+    """Abandoning propagate_in_video mid-run on the chunked-scan path must
+    still write per-frame non_cond entries for the yielded frames — a later
+    correction click or resumed propagate on them reads the memory bank."""
+    import gc
+
+    pred = _make_pred(tiny_model)
+    pred.scan_chunk = 2
+    state = pred.init_state(_frames(8))
+    pred.add_new_points_or_box(state, 0, 1,
+                               points=np.array([[64.0, 64.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    seen = []
+    for i, (t, _, m) in enumerate(pred.propagate_in_video(state)):
+        seen.append(t)
+        if i == 3:
+            break  # abandon the suspended generator
+    gc.collect()  # GeneratorExit -> the finally-writeback
+    nc = state["output_dict_per_obj"][0]["non_cond"]
+    for t in seen[1:]:  # seen[0] is the prompted (cond) frame
+        assert t in nc and "maskmem_features" in nc[t], t
+    # a correction click on an abandoned-but-yielded frame sees real memory
+    _, obj_ids, masks = pred.add_new_points_or_box(
+        state, seen[2], 1, points=np.array([[60.0, 60.0]], np.float32),
+        labels=np.array([1], np.int32))
+    assert obj_ids == [1] and masks.shape[0] == 1
+
+
+def test_click_one_object_leaves_others_untouched(tiny_model):
+    """Clicking object B on a frame must not re-decode (and thus mutate)
+    object A's stored output on that frame — the reference decodes only the
+    clicked object (sam2_video_predictor.py:252-301)."""
+    pred = _make_pred(tiny_model)
+    pred.scan_chunk = 0
+    state = pred.init_state(_frames(4))
+    for oid, pt in ((1, [64.0, 64.0]), (2, [30.0, 100.0])):
+        pred.add_new_points_or_box(state, 0, oid,
+                                   points=np.array([pt], np.float32),
+                                   labels=np.array([1], np.int32))
+    _track_all(pred, state)
+    # correct obj 1 on a tracked frame, then click obj 2 on the same frame
+    pred.add_new_points_or_box(state, 2, 1,
+                               points=np.array([[66.0, 66.0]], np.float32),
+                               labels=np.array([1], np.int32))
+    before = np.asarray(
+        state["output_dict_per_obj"][0]["non_cond"][2]["pred_masks"])
+    _, obj_ids, masks = pred.add_new_points_or_box(
+        state, 2, 2, points=np.array([[32.0, 98.0]], np.float32),
+        labels=np.array([1], np.int32))
+    after = np.asarray(
+        state["output_dict_per_obj"][0]["non_cond"][2]["pred_masks"])
+    np.testing.assert_array_equal(before, after)
+    # the return still combines both prompted objects on the frame
+    assert obj_ids == [1, 2] and masks.shape[0] == 2
