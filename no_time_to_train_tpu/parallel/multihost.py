@@ -65,11 +65,29 @@ def process_shard_indices(n_items, num_processes, process_id):
     lockstep the reference relies on); `collect_results` truncates the
     duplicates back out (run_lightning.py:74-75)."""
     idx = list(range(n_items))
-    if num_processes <= 1:
+    if num_processes <= 1 or n_items == 0:
         return idx
     total = -(-n_items // num_processes) * num_processes
-    idx = idx + idx[:total - n_items]
+    pad = total - n_items
+    if pad <= n_items:
+        idx = idx + idx[:pad]
+    else:
+        # torch DistributedSampler: when the pad exceeds the index list
+        # (n_items < num_processes), repeat the whole list — a short pad
+        # would leave ranks with EMPTY shards, whose empty part files make
+        # the rank-0 interleave truncate every rank's results to zero
+        reps = -(-pad // n_items)
+        idx = idx + (idx * reps)[:pad]
     return idx[process_id::num_processes]
+
+
+def rank_real_count(n_items, num_processes, process_id):
+    """Number of REAL (non-pad) entries in this rank's shard: pads occupy
+    global positions >= n_items, and the round-robin deal keeps positions
+    ascending, so a rank's pads are exactly its tail entries."""
+    if num_processes <= 1:
+        return n_items
+    return len(range(process_id, n_items, num_processes))
 
 
 def barrier(name, timeout_ms=600_000):
@@ -113,14 +131,21 @@ def clear_rank_part(gather_dir, process_id):
         pass
 
 
-def save_rank_results(gather_dir, process_id, results):
+def save_rank_results(gather_dir, process_id, results, scalars=None,
+                      triplets=None):
     """Atomically publish this rank's result list (reference
-    run_lightning.py:56-57, per-rank pickle dump). The rename is the
-    completion signal other ranks wait on."""
+    run_lightning.py:56-57, per-rank pickle dump) plus its analysis-layer
+    scalars/triplets rows, so rank 0 can write the MERGED scalars_all.pkl /
+    triplets_all.pkl (every rank writing them to the shared save_dir would
+    race and keep one arbitrary rank's rows). The rename is the completion
+    signal other ranks wait on."""
+    payload = {"results": results,
+               "scalars": list(scalars or ()),
+               "triplets": list(triplets or ())}
     os.makedirs(gather_dir, exist_ok=True)
     tmp = _part_path(gather_dir, process_id) + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(results, f)
+        pickle.dump(payload, f)
     os.replace(tmp, _part_path(gather_dir, process_id))
 
 
@@ -128,7 +153,10 @@ def collect_results(gather_dir, num_processes, total, timeout_s=600.0,
                     poll_s=0.2):
     """Rank-0 gather: wait for all part files (the reference's
     dist.barrier, run_lightning.py:59), load them in rank order, and
-    reproduce the interleaved merge + pad truncation (:61-75)."""
+    reproduce the interleaved merge + pad truncation (:61-75). Returns
+    (results, scalars_rows, triplets_rows) — the analysis rows are
+    rank-concatenated (the analysis layer treats them as an unordered
+    collection)."""
     paths = [_part_path(gather_dir, r) for r in range(num_processes)]
     deadline = time.time() + timeout_s
     while not all(os.path.exists(p) for p in paths):
@@ -143,4 +171,7 @@ def collect_results(gather_dir, num_processes, total, timeout_s=600.0,
     # ranks may have unequal *real* content but equal padded length; the
     # interleave assumes the padded round-robin deal of
     # process_shard_indices
-    return interleave_results(parts, total)
+    results = interleave_results([p["results"] for p in parts], total)
+    scalars = [row for p in parts for row in p["scalars"]]
+    triplets = [row for p in parts for row in p["triplets"]]
+    return results, scalars, triplets

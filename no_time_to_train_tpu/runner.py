@@ -58,8 +58,9 @@ def get_dataset(dataset_cfg, stage):
     cfg = dict(dataset_cfg)
     name = cfg.pop("name", None)
     assert name in ("coco",), f"unknown dataset {name}"
-    cfg.pop("n_points_per_edge", None) if stage.startswith("fill") else None
     if stage in ("fill_memory", "vis_memory", "fill_memory_neg"):
+        # test-grid key; the fill dataset class does not accept it
+        cfg.pop("n_points_per_edge", None)
         if stage != "fill_memory":
             cfg["custom_data_mode"] = stage
         return COCOMemoryFillCropDataset(**cfg)
@@ -151,6 +152,21 @@ class MatcherRunner:
     def save_ckpt(self, out_path):
         ckpt_io.save_memory_bank(out_path, self.matcher.bank,
                                  self.matcher.bank_neg)
+
+    def _save_ckpt_rank0(self, out_path, mode, msg):
+        """Checkpoint-save gate for multi-process worlds: every rank holds
+        the identical bank (all_gather fill / replicated postprocess), so
+        only rank 0 writes — concurrent same-path torch.save calls tear the
+        file. The barrier keeps other ranks from racing past the write
+        (no-op without a jax.distributed client, where phases are separate
+        CLI invocations anyway)."""
+        from no_time_to_train_tpu.parallel import multihost
+        n_proc, proc_id = multihost.env_world()
+        if proc_id == 0:
+            self.save_ckpt(out_path)
+            print(f"{msg} {out_path}")
+        if n_proc > 1:
+            multihost.barrier(f"nttt_ckpt_saved_{mode}")
 
     def run(self, ckpt_path=None, out_path=None, export_result=None,
             output_name="", progress=True):
@@ -246,15 +262,15 @@ class MatcherRunner:
                     print(f"fill {min((bi + 1) * bs, len(ds))}/{len(ds)}")
             pool.shutdown()
             if out_path:
-                self.save_ckpt(out_path)
-                print(f"Checkpoint with memory is saved to {out_path}")
+                self._save_ckpt_rank0(out_path, mode,
+                                      "Checkpoint with memory is saved to")
         elif mode in ("postprocess_memory", "postprocess_memory_neg"):
             self.matcher.postprocess_memory(
                 positive=(mode == "postprocess_memory"))
             if out_path:
-                self.save_ckpt(out_path)
-                print(f"Checkpoint with post-processed memory is saved to "
-                      f"{out_path}")
+                self._save_ckpt_rank0(
+                    out_path, mode,
+                    "Checkpoint with post-processed memory is saved to")
         elif mode in ("test", "test_support"):
             from concurrent.futures import ThreadPoolExecutor
             stage_cfg = self.dataset_cfgs[
@@ -278,7 +294,18 @@ class MatcherRunner:
                 # jax.distributed; the result gather itself is filesystem-
                 # based and runs without it, like the reference's tmpdir
                 # pickle gather (run_lightning.py:23-78)
-                multihost.initialize()
+                try:
+                    multihost.initialize()
+                except RuntimeError as e:
+                    # constructing MatcherRunner already touched the backend
+                    # (weight init), after which jax.distributed refuses to
+                    # start — the CLI initializes early (run_lightning.main)
+                    raise RuntimeError(
+                        "jax.distributed must be initialized BEFORE the "
+                        "runner first touches the backend; go through "
+                        "run_lightning.main, or call parallel.multihost."
+                        "initialize() before constructing MatcherRunner"
+                    ) from e
             indices = multihost.process_shard_indices(len(ds), n_proc,
                                                       proc_id)
             gather_dir = multihost.run_gather_dir(
@@ -295,13 +322,17 @@ class MatcherRunner:
 
             vis_dir = self._vis_dir(stage_cfg)
 
-            def finalize(item, device_out, dt):
+            # process-level pad duplicates (tail of the shard) keep the
+            # merge aligned but must not double-count analysis rows / vis
+            n_real = multihost.rank_real_count(len(ds), n_proc, proc_id)
+
+            def finalize(item, device_out, dt, analysis):
                 self.time_queue.append(dt)
                 raw = self.matcher.fetch_test(device_out)
                 self.output_queue.append(self._finalize_one(
-                    ds, stage_cfg, vis_dir, item, raw))
+                    ds, stage_cfg, vis_dir, item, raw, analysis=analysis))
 
-            pending = None  # (item, device_out, dt)
+            pending = None  # (item, device_out, dt, analysis)
             for pos in range(len(indices)):
                 item = futures.pop(0).result()
                 if pos + 2 < len(indices):
@@ -313,7 +344,7 @@ class MatcherRunner:
                     finalize(*pending)  # D2H + host work overlap this compute
                 np.asarray(out["scores"])  # completion fence (timed like the
                 dt = time.time() - t0      # reference's synchronized forward)
-                pending = (item, out, dt)
+                pending = (item, out, dt, pos < n_real)
                 if progress and (pos + 1) % 20 == 0:
                     print(f"test {pos + 1}/{len(indices)}")
             if pending is not None:
@@ -398,24 +429,30 @@ class MatcherRunner:
         print(f"  Average time per image: {np.mean(times_np):.4f} s")
         print(f"  FPS: {1.0 / np.mean(times_np):.2f}")
 
-        for fname, queue in (("scalars_all.pkl", self.scalars_queue),
-                             ("triplets_all.pkl", self.triplets_queue)):
-            if queue:
-                os.makedirs(self.save_dir, exist_ok=True)
-                with open(os.path.join(self.save_dir, fname), "wb") as f:
-                    pickle.dump(queue, f)
-
         results_unpacked = []
+        scalars, triplets = list(self.scalars_queue), list(self.triplets_queue)
         if n_proc > 1:
-            # the process-level pad duplicates truncate out at len(ds)
-            multihost.save_rank_results(gather_dir, proc_id, results)
+            # the process-level pad duplicates truncate out at len(ds);
+            # analysis rows ride the same part files so rank 0 writes the
+            # MERGED pkls (per-rank writes to the shared save_dir would race)
+            multihost.save_rank_results(gather_dir, proc_id, results,
+                                        scalars, triplets)
             if proc_id != 0:
                 return None
-            for r in multihost.collect_results(gather_dir, n_proc, len(ds)):
+            merged, scalars, triplets = multihost.collect_results(
+                gather_dir, n_proc, len(ds))
+            for r in merged:
                 results_unpacked.extend(r)
         else:
             for r in results:
                 results_unpacked.extend(r)
+
+        for fname, rows in (("scalars_all.pkl", scalars),
+                            ("triplets_all.pkl", triplets)):
+            if rows:
+                os.makedirs(self.save_dir, exist_ok=True)
+                with open(os.path.join(self.save_dir, fname), "wb") as f:
+                    pickle.dump(rows, f)
         if export_result:
             with open(export_result, "w") as f:
                 json.dump(results_unpacked, f)
@@ -548,16 +585,21 @@ class MatcherRunner:
 
         vis_dir = self._vis_dir(stage_cfg)
 
-        def finalize(items, n_valid, out, dt):
+        # process-level pads sit at the shard tail (rank_real_count), on top
+        # of the batch-level tail pads (n_valid)
+        n_real = multihost.rank_real_count(len(ds), n_proc, proc_id)
+
+        def finalize(items, n_valid, out, dt, base):
             self.time_queue.append(dt / n)
             raw_all = self._fetch_dp(out)
             for j, item in enumerate(items):
                 raw = {k: v[j] for k, v in raw_all.items()}
-                # pad duplicates (j >= n_valid) keep merge alignment but
-                # must not double-count analysis rows / vis
+                # pad duplicates (batch tail j >= n_valid, or process-level
+                # shard tail) keep merge alignment but must not double-count
+                # analysis rows / vis
                 per_rank[j].append(self._finalize_one(
                     ds, stage_cfg, vis_dir, item, raw,
-                    analysis=j < n_valid))
+                    analysis=j < n_valid and base + j < n_real))
 
         pending = None
         for bi, batch in enumerate(batches):
@@ -570,7 +612,7 @@ class MatcherRunner:
                 finalize(*pending)  # D2H + host work overlap this compute
             np.asarray(out["scores"])  # completion fence (tiny [n, K] fetch)
             dt = time.time() - t0
-            pending = (items, len(batch), out, dt)
+            pending = (items, len(batch), out, dt, bi * n)
         if pending is not None:
             finalize(*pending)
         pool.shutdown()

@@ -59,8 +59,12 @@ def main():
         "dino_tiny_test", presets.EncoderConfig("dino_tiny_test", 28, 14, 32,
                                                 1, 2, "local"))
     import run_lightning
-    mem = os.path.join(workdir, f"m_rank{rank}.ckpt")
-    post = os.path.join(workdir, f"p_rank{rank}.ckpt")
+    # SHARED checkpoint paths: only rank 0 writes (reference Lightning-DDP
+    # rank_zero_only saving; concurrent same-path torch.save calls tear the
+    # file); the save is fenced by a barrier, so rank 1 loads rank 0's file
+    # in the next phase
+    mem = os.path.join(workdir, "m_shared.ckpt")
+    post = os.path.join(workdir, "p_shared.ckpt")
     run_lightning.main(["test", "--config", cfg_path,
                         "--model.test_mode", "fill_memory",
                         "--out_path", mem])

@@ -37,8 +37,10 @@ def test_gather_interleave_matches_sequential(tmp_path):
         shard = multihost.process_shard_indices(n, world, r)
         multihost.save_rank_results(str(tmp_path), r,
                                     [f"res_{i}" for i in shard])
-    merged = multihost.collect_results(str(tmp_path), world, n, timeout_s=5)
+    merged, scalars, triplets = multihost.collect_results(
+        str(tmp_path), world, n, timeout_s=5)
     assert merged == expect
+    assert scalars == [] and triplets == []
 
 
 def test_gather_timeout(tmp_path):
@@ -72,7 +74,7 @@ def test_stale_parts_cannot_satisfy_barrier(tmp_path, monkeypatch):
     multihost.save_rank_results(base, 1, ["new_1"])
     multihost.clear_rank_part(base, 0)
     multihost.save_rank_results(base, 0, ["new_0"])
-    assert multihost.collect_results(base, 2, 2, timeout_s=5) == \
+    assert multihost.collect_results(base, 2, 2, timeout_s=5)[0] == \
         ["new_0", "new_1"]
 
 
@@ -257,18 +259,20 @@ def test_cli_two_process_dp_composition(tiny_cli_setup, tmp_path):
     expect = json.loads(single.read_text())
     assert got == expect
 
-    # the global-mesh fill must produce the same bank in every process as
-    # the single-process fill (m.ckpt / p.ckpt from the fixture); compare
-    # tensor contents (the torch zip container embeds names/offsets that
-    # differ run to run)
+    # the global-mesh fill must produce the same bank as the single-process
+    # fill (m.ckpt / p.ckpt from the fixture); only rank 0 writes the SHARED
+    # checkpoint (Lightning-DDP rank_zero_only semantics — concurrent
+    # same-path saves would tear the file), and rank 1 consuming it through
+    # postprocess+test to the identical merged export proves both ranks'
+    # banks agree. Compare tensor contents (the torch zip container embeds
+    # names/offsets that differ run to run).
     import torch
-    for rank in range(2):
-        for name, ref in (("m_rank%d.ckpt" % rank, setup_path / "m.ckpt"),
-                          ("p_rank%d.ckpt" % rank, setup_path / "p.ckpt")):
-            got = torch.load(str(workdir / name), weights_only=True)
-            exp = torch.load(str(ref), weights_only=True)
-            assert got["state_dict"].keys() == exp["state_dict"].keys()
-            for k in exp["state_dict"]:
-                np.testing.assert_array_equal(
-                    got["state_dict"][k].numpy(),
-                    exp["state_dict"][k].numpy(), err_msg=f"{name}:{k}")
+    for name, ref in (("m_shared.ckpt", setup_path / "m.ckpt"),
+                      ("p_shared.ckpt", setup_path / "p.ckpt")):
+        got = torch.load(str(workdir / name), weights_only=True)
+        exp = torch.load(str(ref), weights_only=True)
+        assert got["state_dict"].keys() == exp["state_dict"].keys()
+        for k in exp["state_dict"]:
+            np.testing.assert_array_equal(
+                got["state_dict"][k].numpy(),
+                exp["state_dict"][k].numpy(), err_msg=f"{name}:{k}")

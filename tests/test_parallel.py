@@ -107,3 +107,36 @@ def test_interleave_results():
     # the reference deals items round-robin to ranks, merges by zip, truncates
     per_rank = [[0, 3, 6], [1, 4, 7], [2, 5, 8]]
     assert interleave_results(per_rank, 8) == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_process_shard_indices_small_dataset():
+    """Fewer items than processes: the pad must REPEAT the index list
+    (torch DistributedSampler semantics) so no rank gets an empty shard —
+    an empty part file would truncate the rank-0 interleave to zero."""
+    from no_time_to_train_tpu.parallel.multihost import (
+        process_shard_indices, rank_real_count)
+    n_items, world = 3, 8
+    shards = [process_shard_indices(n_items, world, r) for r in range(world)]
+    assert all(len(s) == 1 for s in shards)  # equal step count, none empty
+    merged = interleave_results(shards, n_items)
+    assert merged == [0, 1, 2]
+    assert [rank_real_count(n_items, world, r) for r in range(world)] == \
+        [1, 1, 1, 0, 0, 0, 0, 0]
+    # normal case unchanged
+    shards = [process_shard_indices(10, 4, r) for r in range(4)]
+    assert interleave_results(shards, 10) == list(range(10))
+    assert [rank_real_count(10, 4, r) for r in range(4)] == [3, 3, 2, 2]
+    assert all(len(s) == 3 for s in shards)
+
+
+def test_multihost_gather_payload(tmp_path):
+    """save_rank_results/collect_results round-trip the analysis rows so
+    rank 0 writes merged scalars/triplets pkls (per-rank writes raced)."""
+    from no_time_to_train_tpu.parallel.multihost import (
+        save_rank_results, collect_results)
+    d = str(tmp_path)
+    save_rank_results(d, 0, [[0], [2]], scalars=["s0"], triplets=["t0"])
+    save_rank_results(d, 1, [[1], [3]], scalars=["s1"], triplets=[])
+    results, scalars, triplets = collect_results(d, 2, 4, timeout_s=5)
+    assert results == [[0], [1], [2], [3]]
+    assert scalars == ["s0", "s1"] and triplets == ["t0"]
