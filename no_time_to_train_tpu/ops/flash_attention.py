@@ -46,18 +46,28 @@ DEFAULT_BLOCK_K = 256
 # also sit in VMEM (4608 x 128 x bf16 = 1.2MB each) alongside it
 ONEPASS_MAX_NK = 4608
 ONEPASS_LOGITS_BYTES = 4 * 1024 * 1024
+# widest key range the ONLINE fallback kernel takes: _flash_bh also keeps
+# the whole (padded) k/v resident in VMEM (2 x n_k x 128 lanes x bf16 =
+# 512 B/key ~ 6.3 MB at this cap, of ~16 MB VMEM); beyond it the kernel
+# fails to COMPILE (Mosaic VMEM allocation), so wider unmasked ranges must
+# take the fused XLA path instead
+RESIDENT_MAX_NK = 12288
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale, n_valid):
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # [block_q, d]
+    # GEMMs run in the operands' native dtype (bf16 on the hot path — f32
+    # inputs would quarter the MXU rate) with f32 accumulation; the online
+    # softmax carries stay f32 (same convention as _flash_masked_kernel)
+    q = q_ref[0]  # [block_q, d]
     n_k = k_ref.shape[1]
     block_q, d = q.shape
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T,
+                    preferred_element_type=jnp.float32) * sm_scale
         if n_valid < n_k:
             # keys beyond n_valid are padding: mask them out of the softmax
             # (n_valid is a trace-time constant; padded QUERY rows need no
@@ -72,8 +82,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, sm_scale, n_valid):
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + p.sum(axis=-1)
-        acc = acc * alpha[:, None] + jnp.dot(p, v,
-                                             preferred_element_type=jnp.float32)
+        acc = acc * alpha[:, None] + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     n_blocks = n_k // block_k
@@ -393,6 +403,8 @@ def flash_sdpa(q, k, v, mask=None, block_q=DEFAULT_BLOCK_Q,
                           v.reshape((-1,) + v.shape[-2:]), bq, n_k)
         out = out.reshape(lead + (n_q + q_pad, d))
         return out[..., :n_q, :] if q_pad else out
+    if n_k_padded > RESIDENT_MAX_NK:
+        return _xla_sdpa(q, k, v, mask)
     # Ragged sequences tile via padding: queries pad to the q-block multiple
     # on a 128-sublane grain (padded rows compute garbage against the valid
     # keys — no NaN, all sliced off); keys/values pad to the k-block multiple
