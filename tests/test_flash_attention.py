@@ -237,6 +237,24 @@ def test_flash_sdpa_routes_onepass_vs_online():
     assert fa._onepass_block_q(600, 512) == 304     # uneven split, 8-grain
 
 
+def test_flash_sdpa_routes_wide_keys_to_xla(monkeypatch, rng):
+    """Key ranges wider than RESIDENT_MAX_NK (where the VMEM-resident k/v
+    layout of the online kernel exceeds Mosaic's allocation) must take the
+    fused XLA path rather than attempt a kernel that cannot compile."""
+    def boom(*a, **k):
+        raise AssertionError("kernel path must not be taken")
+    monkeypatch.setattr(fa, "_flash_bh", boom)
+    monkeypatch.setattr(fa, "_onepass_bh", boom)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    n_k = fa.RESIDENT_MAX_NK + 128
+    q = jnp.asarray(rng.standard_normal((1, 1, 128, 64)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1, n_k, 64)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1, n_k, 64)) * 0.3, jnp.float32)
+    out = fa.flash_sdpa(q, k, v, block_q=128, block_k=128)
+    ref = _xla_sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
 def test_onepass_hiera_global_tpu_parity(rng):
     """Compiled single-pass kernel at the Hiera global-block shape
     (n=4096, d=72 — a non-128 lane dim, the riskiest Mosaic lowering)
