@@ -14,6 +14,16 @@ outside the timed section in both implementations. Completion is forced by
 fetching the (tiny) score vector, since bare block_until_ready returns early
 through the axon remote-TPU tunnel.
 
+Cold start rides the AOT path (utils/aot.py): a fingerprinted pre-serialized
+TPU executable is loaded when present (seconds instead of the ~6 min cold /
+~1 min warm-cache jit compile) and (re)exported here on miss so the next cold
+start is fast. Init is attributed leg by leg on stderr (param init / cast +
+device_put dispatch / upload fence / bank postprocess / AOT).
+
+The stderr tail also carries the canonical video-propagation numbers
+(1-obj and 3-obj ms/frame, 64 frames, SAM2-L @ 1024) so every driver capture
+records them; disable with --video=0 for quick image-path A/Bs.
+
 vs_baseline: the reference repo commits no throughput numbers (SURVEY §6), so
 the baseline is an estimate of the reference pipeline on one A100: the fp32
 test step costs ~4.5 TFLOPs/image (two ViT forwards + a 1024-prompt decode in
@@ -31,6 +41,59 @@ REFERENCE_FPS_ESTIMATE = 1.5  # img/s, reference on one A100 (see docstring)
 
 N_WARMUP = 2
 N_ITERS = 8
+
+
+def _fence_upload(*trees):
+    """Force every leaf of the given pytrees onto the device and wait.
+    block_until_ready returns early through the axon tunnel, so the fence is
+    a tiny jitted reduction over all leaves whose scalar result is fetched."""
+    import jax
+    import jax.numpy as jnp
+
+    def touch(ts):
+        return sum(l.reshape(-1)[0].astype(jnp.float32)
+                   for l in jax.tree.leaves(ts) if l.size)
+    return float(jax.jit(touch)(trees))
+
+
+def _bench_video(matcher, n_frames, objs):
+    """Steady-state video propagation ms/frame on the matcher's live SAM2-L
+    params (no second param init/upload — one axon client per host). Same
+    two-pass protocol as tools/bench_video.py: pass 1 takes the compiles,
+    pass 2 is timed end-to-end over the tracked frames."""
+    from no_time_to_train_tpu.models.sam2.video import SAM2VideoPredictor
+    size = matcher.sam2_cfg.image_size
+    pred = SAM2VideoPredictor(matcher.sam2, matcher.sam2_params)
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((n_frames, size, size, 3), np.float32)
+    for t in range(n_frames):  # a moving bright square: non-degenerate masks
+        x0 = (size // 8 + 9 * t) % (size - size // 4)
+        frames[t, size // 4:size // 2, x0:x0 + size // 4] = 0.9
+
+    def run_pass():
+        state = pred.init_state(frames)
+        for j in range(objs):
+            pred.add_new_points_or_box(
+                state, 0, j + 1,
+                points=np.array([[size // 4, size * 3 // 8 + 7 * j]],
+                                np.float32),
+                labels=np.array([1], np.int32))
+        t0 = time.time()
+        n = 0
+        pend = None
+        for fidx, obj_ids, masks in pred.propagate_in_video(state):
+            if pend is not None:
+                np.asarray(pend)
+            pend = masks
+            n += 1
+        if pend is not None:
+            np.asarray(pend)
+        return time.time() - t0, n - 1  # frame 0 is the prompt
+
+    run_pass()                          # compiles
+    track_s, n_tracked = run_pass()
+    return 1000.0 * track_s / max(n_tracked, 1), n_tracked
 
 
 def main():
@@ -55,6 +118,8 @@ def main():
     point_bs = 256
     depth = 1
     quant = "none"
+    video = 1
+    use_aot = 1
     for a in sys.argv[1:]:
         if a.startswith("--attention-impl="):
             attention_impl = a.split("=")[1]
@@ -68,6 +133,10 @@ def main():
             depth = int(a.split("=")[1])
         if a.startswith("--quant="):
             quant = a.split("=")[1]  # "int8": W8A8 encoder GEMMs (opt-in)
+        if a.startswith("--video="):
+            video = int(a.split("=")[1])
+        if a.startswith("--aot="):
+            use_aot = int(a.split("=")[1])
     # a typo'd A/B flag must fail loudly, not silently bench the default
     assert attention_impl in ("pallas", "xla"), attention_impl
     assert decoder_impl in ("dense", "factored"), decoder_impl
@@ -80,9 +149,20 @@ def main():
     t0 = time.time()
     matcher = NoAMGMatcher("sam2_hiera_l.yaml", "dinov2_large", matching,
                            n_classes=20, memory_length=10)
+    legs = dict(matcher.init_timings)     # param_init_s, cast_device_put_s
+    t0 = time.time()
+    _fence_upload(matcher.sam2_params, matcher.dino_params)
+    legs["upload_s"] = time.time() - t0   # wire transfer (+ tiny jit fence)
+    t0 = time.time()
     matcher.bank = mb.postprocess(matcher.bank)
     np.asarray(matcher.bank.feats_avg)  # sync
-    init_s = time.time() - t0
+    legs["bank_post_s"] = time.time() - t0  # kmeans/PCA compile + run
+    aot_status = "off"
+    if use_aot and batch == 1:
+        t0 = time.time()
+        aot_status = matcher.enable_aot(export_on_miss=True)
+        legs["aot_s"] = time.time() - t0
+    init_s = sum(legs.values())
 
     rng = np.random.default_rng(0)
     if batch == 1:
@@ -136,12 +216,27 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
     }))
-    print(f"# init {init_s:.1f}s, first-step (compile) {compile_s:.1f}s, "
+    leg_str = ", ".join(f"{k} {v:.1f}" for k, v in legs.items())
+    print(f"# init {init_s:.1f}s ({leg_str}), aot={aot_status}, "
+          f"first-step (compile) {compile_s:.1f}s, "
           f"pipelined {1000 * dt:.0f} ms/img (depth={depth}), fenced latency "
           f"{1000 * lat:.0f} ms/img, dtype={compute_dtype}, "
           f"attention={attention_impl}, decoder={decoder_impl}, "
           f"batch={batch}, point_bs={point_bs}, quant={quant}",
           file=sys.stderr)
+
+    if video:
+        # canonical video-propagation pair (VERDICT r4 #5): recorded in the
+        # same capture as the image numbers, same tunnel conditions
+        try:
+            for objs in (1, 3):
+                ms, n = _bench_video(matcher, n_frames=64, objs=objs)
+                print(f"# video: {ms:.0f} ms/frame = {1000.0 / ms:.1f} fps "
+                      f"({objs} obj, 1024px, {n} frames timed)",
+                      file=sys.stderr)
+        except Exception as e:
+            print(f"# video bench failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

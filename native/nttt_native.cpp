@@ -193,4 +193,166 @@ void upsample_binarize(const float* logits, int64_t n, int64_t in_h,
     }
 }
 
+// --------------------------- fused finalize: upsample + binarize + RLE + box
+// One mask: bilinear-upsample `logits` [in_h*in_w] f32 to out_h x out_w
+// (half-pixel centers, same arithmetic as upsample_binarize above), binarize
+// at `threshold`, and emit the COCO RLE string DIRECTLY from the
+// column-major traversal (F-order == RLE scan order), tracking the XYXY box
+// of set pixels along the way. The full-resolution mask is never
+// materialized: the working set is one horizontally-interpolated source
+// column (in_h floats, L1-resident), which is what makes this ~an order of
+// magnitude faster than upsample -> nonzero-box -> strided F-order encode.
+// str_out: caller-allocated (>= 8*out_h*out_w + 16). box_out: int32[4] XYXY
+// (zeros when empty). npix_out: set-pixel count. Returns string length.
+int64_t finalize_mask(const float* logits, int64_t in_h, int64_t in_w,
+                      int64_t out_h, int64_t out_w, float threshold,
+                      char* str_out, int32_t* box_out, int64_t* npix_out) {
+    std::vector<int32_t> y0(out_h), y1(out_h);
+    std::vector<float> fy(out_h);
+    const double sh = static_cast<double>(in_h) / out_h;
+    const double sw = static_cast<double>(in_w) / out_w;
+    for (int64_t i = 0; i < out_h; ++i) {
+        double src = (i + 0.5) * sh - 0.5;
+        src = std::max(0.0, std::min(src, static_cast<double>(in_h - 1)));
+        y0[i] = static_cast<int32_t>(src);
+        y1[i] = std::min<int64_t>(y0[i] + 1, in_h - 1);
+        fy[i] = static_cast<float>(src - y0[i]);
+    }
+    // transpose the source once (blocked): the per-output-column horizontal
+    // interpolation then reads two CONTIGUOUS source columns instead of two
+    // in_w-strided gathers (a cache line per element)
+    std::vector<float> tsrc(in_h * in_w);
+    constexpr int64_t BT = 32;
+    for (int64_t rb = 0; rb < in_h; rb += BT)
+        for (int64_t cb = 0; cb < in_w; cb += BT) {
+            const int64_t re = std::min(rb + BT, in_h);
+            const int64_t ce = std::min(cb + BT, in_w);
+            for (int64_t r = rb; r < re; ++r)
+                for (int64_t c = cb; c < ce; ++c)
+                    tsrc[c * in_h + r] = logits[r * in_w + c];
+        }
+    // Blocked column processing: BW output columns at a time so the
+    // vertical interpolation + binarize runs VECTORIZED across the block
+    // (the per-row y0/y1/fy are shared by every column), then each column's
+    // run-length scan word-skips through the byte block (masks are blobby:
+    // runs are long, so 8 pixels/iteration is the common case).
+    constexpr int64_t BW = 32;
+    std::vector<float> colblk(in_h * BW);
+    std::vector<uint8_t> vblk(out_h * BW);   // [out_h][BW] binarized
+    std::vector<uint8_t> tv(BW * out_h);     // [BW][out_h] transposed
+    std::vector<int64_t> cnts;
+    cnts.reserve(out_h);
+    uint8_t prev = 0;
+    int64_t run = 0, npix = 0;
+    int32_t minx = -1, maxx = -1, miny = static_cast<int32_t>(out_h),
+            maxy = -1;
+    int64_t x0b[BW], x1b[BW];
+    float fxb[BW];
+    for (int64_t jb = 0; jb < out_w; jb += BW) {
+        const int64_t bw = std::min(BW, out_w - jb);
+        for (int64_t jj = 0; jj < bw; ++jj) {
+            double srcx = (jb + jj + 0.5) * sw - 0.5;
+            srcx = std::max(0.0,
+                            std::min(srcx, static_cast<double>(in_w - 1)));
+            x0b[jj] = static_cast<int64_t>(srcx);
+            x1b[jj] = std::min(x0b[jj] + 1, in_w - 1);
+            fxb[jj] = static_cast<float>(srcx - x0b[jj]);
+        }
+        // horizontal: row-major so writes are contiguous (the two source
+        // columns per jj are contiguous in tsrc and L2-resident)
+        for (int64_t r = 0; r < in_h; ++r) {
+            float* dst = colblk.data() + r * BW;
+            for (int64_t jj = 0; jj < bw; ++jj)
+                dst[jj] = tsrc[x0b[jj] * in_h + r] * (1.f - fxb[jj])
+                        + tsrc[x1b[jj] * in_h + r] * fxb[jj];
+        }
+        // vertical + binarize: vectorizes across the BW lanes
+        for (int64_t i = 0; i < out_h; ++i) {
+            const float* r0 = colblk.data() + y0[i] * BW;
+            const float* r1 = colblk.data() + y1[i] * BW;
+            const float wy = fy[i];
+            uint8_t* vp = vblk.data() + i * BW;
+            for (int64_t jj = 0; jj < BW; ++jj)
+                vp[jj] = (r0[jj] * (1.f - wy) + r1[jj] * wy) > threshold;
+        }
+        // box rows: OR each row across the block's valid lanes
+        for (int64_t i = 0; i < out_h; ++i) {
+            const uint8_t* vp = vblk.data() + i * BW;
+            uint8_t any = 0;
+            for (int64_t jj = 0; jj < bw; ++jj) any |= vp[jj];
+            if (any) {
+                if (static_cast<int32_t>(i) < miny)
+                    miny = static_cast<int32_t>(i);
+                if (static_cast<int32_t>(i) > maxy)
+                    maxy = static_cast<int32_t>(i);
+            }
+        }
+        // byte-transpose so each column scans contiguously
+        for (int64_t i = 0; i < out_h; ++i)
+            for (int64_t jj = 0; jj < bw; ++jj)
+                tv[jj * out_h + i] = vblk[i * BW + jj];
+        // per-column RLE (word-skipping equal runs) + box columns
+        for (int64_t jj = 0; jj < bw; ++jj) {
+            const uint8_t* col = tv.data() + jj * out_h;
+            uint64_t col_or = 0;
+            int64_t i = 0;
+            for (; i + 8 <= out_h; i += 8) {
+                uint64_t v;
+                std::memcpy(&v, col + i, 8);
+                col_or |= v;
+            }
+            for (; i < out_h; ++i) col_or |= col[i];
+            if (col_or) {
+                if (minx < 0) minx = static_cast<int32_t>(jb + jj);
+                maxx = static_cast<int32_t>(jb + jj);
+            }
+            i = 0;
+            while (i < out_h) {
+                const uint64_t word = prev ? 0x0101010101010101ull : 0ull;
+                while (i + 8 <= out_h) {
+                    uint64_t v;
+                    std::memcpy(&v, col + i, 8);
+                    if (v != word) break;
+                    i += 8;
+                    run += 8;
+                }
+                if (i >= out_h) break;
+                const uint8_t v = col[i];
+                if (v == prev) {
+                    ++run;
+                } else {
+                    cnts.push_back(run);
+                    prev = v;
+                    run = 1;
+                }
+                ++i;
+            }
+        }
+    }
+    cnts.push_back(run);
+    for (size_t k = 1; k < cnts.size(); k += 2) npix += cnts[k];
+    if (npix > 0) {
+        box_out[0] = minx; box_out[1] = miny;
+        box_out[2] = maxx; box_out[3] = maxy;
+    } else {
+        box_out[0] = box_out[1] = box_out[2] = box_out[3] = 0;
+    }
+    *npix_out = npix;
+    // counts -> compressed string (maskApi rleToString; see rle_encode)
+    int64_t p = 0;
+    for (size_t i = 0; i < cnts.size(); ++i) {
+        int64_t x = cnts[i];
+        if (i > 2) x -= cnts[i - 2];
+        bool more = true;
+        while (more) {
+            int64_t c = x & 0x1f;
+            x >>= 5;
+            more = (c & 0x10) ? (x != -1) : (x != 0);
+            if (more) c |= 0x20;
+            str_out[p++] = static_cast<char>(c + 48);
+        }
+    }
+    return p;
+}
+
 }  // extern "C"

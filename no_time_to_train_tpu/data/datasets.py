@@ -259,14 +259,16 @@ class COCORefTestDataset:
     # ---------------------------------------------------------- results/eval
     def encode_results(self, output_dicts):
         """Reference encode_results (:590-613): numpy masks -> COCO RLE json
-        records, labels mapped back to dataset category ids."""
+        records, labels mapped back to dataset category ids. Accepts
+        pre-encoded RLEs under "segs" (the fused native finalize path,
+        pipeline.finalize_records) in place of "masks"."""
         results = []
         for out in output_dicts:
             img_id = out["img_id"]
             img_id = int(img_id) if str(img_id).isdigit() else img_id
             for i in range(len(out["scores"])):
                 box = np.asarray(out["boxes"][i], np.float64)
-                seg = rle_mod.encode_mask(
+                seg = out["segs"][i] if "segs" in out else rle_mod.encode_mask(
                     np.asarray(out["masks"][i]).astype(np.uint8))
                 results.append({
                     "image_id": img_id,

@@ -180,7 +180,10 @@ class NoAMGMatcher:
             self.dino = DinoV2(self.enc_cfg, dtype=dtype,
                                quant=matching.encoder_quant)
 
+        import time
         key = jax.random.PRNGKey(seed)
+        self.init_timings = {}
+        t0 = time.time()
         if sam2_params is None:
             s = self.sam2_cfg.image_size
             sam2_params = _random_params_like(
@@ -218,8 +221,14 @@ class NoAMGMatcher:
                 return a
             return jax.device_put(jax.tree.map(leaf, tree))
 
+        self.init_timings["param_init_s"] = time.time() - t0
+        t0 = time.time()
         self.sam2_params = _to_device(sam2_params)
         self.dino_params = _to_device(dino_params)
+        # host cast + transfer DISPATCH only: device_put is async, the wire
+        # transfer itself overlaps whatever runs next (bench.py fences it
+        # separately to attribute the tunnel-upload leg)
+        self.init_timings["cast_device_put_s"] = time.time() - t0
 
         gs = self.enc_cfg.grid_size
         self.bank = mb.create(n_classes, memory_length, gs * gs,
@@ -243,6 +252,56 @@ class NoAMGMatcher:
 
         self._test_batch_jit = jax.jit(_batched,
                                        static_argnames=("with_negative",))
+        self._aot_exec = None
+        self._aot_img_shape = None
+
+    # ------------------------------------------------------------------- aot
+    def _aot_step_fn(self):
+        """The positive-bank test step in the 4-arg signature the serialized
+        executable is exported with (utils/aot.py)."""
+        def fn(sam2_params, dino_params, bank, img):
+            return self._test_impl(sam2_params, dino_params, bank, bank, img,
+                                   with_negative=False)
+        return fn
+
+    def _aot_extra(self):
+        """Config tag folded into the AOT fingerprint: everything that
+        changes the traced program but not the package source."""
+        return repr((self.matching, repr(self.sam2_cfg), self.enc_cfg,
+                     jax.tree.map(lambda a: (a.shape, str(a.dtype)),
+                                  self.bank)))
+
+    def enable_aot(self, path=None, export_on_miss=False):
+        """Swap the single-image test step to a pre-serialized compiled TPU
+        executable (utils/aot.py), skipping jit compilation entirely on a
+        cold start. Falls back silently to jit when the artifact is absent
+        or was built for a different source/config/topology. Returns
+        "loaded" | "exported" | "jit".
+
+        With export_on_miss, a missing/stale artifact is (re)built in place:
+        one lower+compile (cheap against the persistent XLA cache this
+        process would have paid anyway) + serialize, so the NEXT cold start
+        loads in seconds. The negative-refs config keeps the 5-arg jit path
+        (the exported signature carries the positive bank only)."""
+        if self.matching.with_negative_refs:
+            return "jit"
+        from no_time_to_train_tpu.utils import aot
+        path = path or aot.DEFAULT_PATH
+        extra = self._aot_extra()
+        ex = aot.load_step(path, extra=extra)
+        s = self.sam2_cfg.image_size
+        self._aot_img_shape = (s, s, 3)
+        if ex is not None:
+            self._aot_exec = ex
+            return "loaded"
+        if export_on_miss:
+            img = np.zeros(self._aot_img_shape, np.float32)
+            self._aot_exec = aot.export_step(
+                self._aot_step_fn(),
+                (self.sam2_params, self.dino_params, self.bank, img),
+                path, extra=extra)
+            return "exported"
+        return "jit"
 
     # ------------------------------------------------------------------ fill
     def _fill_features(self, dino_params, ref_imgs, ref_masks):
@@ -446,11 +505,25 @@ class NoAMGMatcher:
     def test_async(self, tar_img):
         """Submit one test step; returns device-resident outputs (does not
         block). Pair with fetch_test to pipeline host transfer with the next
-        image's compute."""
+        image's compute. Dispatches to the AOT-loaded executable when
+        enable_aot() armed one (identical program, zero compile)."""
         with_neg = self.matching.with_negative_refs
+        img = jnp.asarray(tar_img)
+        if (self._aot_exec is not None and not with_neg
+                and tuple(img.shape) == self._aot_img_shape
+                and img.dtype == jnp.float32):
+            try:
+                return self._aot_exec(self.sam2_params, self.dino_params,
+                                      self.bank, img)
+            except Exception as e:  # aval/topology skew: revert permanently
+                import sys
+                print(f"[aot] executable call failed "
+                      f"({type(e).__name__}: {e}); reverting to jit",
+                      file=sys.stderr)
+                self._aot_exec = None
         return self._test_jit(self.sam2_params, self.dino_params, self.bank,
                               self.bank_neg if with_neg else self.bank,
-                              jnp.asarray(tar_img), with_negative=with_neg)
+                              img, with_negative=with_neg)
 
     def test_batch_async(self, tar_imgs):
         """Batched variant: [B, S, S, 3] images in one jit step (vmapped) —
@@ -472,6 +545,35 @@ class NoAMGMatcher:
         return dict(lr_logits=lr, scores=np.asarray(out["scores"]),
                     labels=np.asarray(out["labels"]),
                     pred_ious=np.asarray(out["pred_ious"]), valid=valid)
+
+
+def finalize_records(out, ori_h, ori_w):
+    """Fused host-side finalization of one image's padded device output:
+    per winning mask, ONE native pass upsamples the low-res logits to the
+    original size, binarizes, RLE-encodes (COCO counts string) and computes
+    the XYXY box — without ever materializing the full-resolution mask
+    (native/nttt_native.cpp finalize_mask; byte-identical to
+    finalize_results + rle encode, ~7x faster). Returns
+    dict(segs, bboxes, scores, labels) or None when the native lib is
+    unavailable (callers fall back to finalize_results)."""
+    from no_time_to_train_tpu.utils import native
+    if not native.has_finalize():
+        return None
+    lr = out["lr_logits"].shape[-1]
+    if ori_h < lr or ori_w < lr:
+        # downscale needs the antialiased matrix path (finalize_results)
+        return None
+    valid = np.asarray(out["valid"])
+    n = int(valid.sum())
+    logits = np.asarray(out["lr_logits"][:n], np.float32)
+    scores = np.asarray(out["scores"][:n], np.float32)
+    labels = np.asarray(out["labels"][:n])
+    segs, bboxes = [], np.zeros((n, 4), np.float32)
+    for i in range(n):
+        counts, box, _ = native.finalize_mask(logits[i], ori_h, ori_w)
+        segs.append({"size": [ori_h, ori_w], "counts": counts})
+        bboxes[i] = box
+    return dict(segs=segs, bboxes=bboxes, scores=scores, labels=labels)
 
 
 def finalize_results(out, ori_h, ori_w, exact_resize=False):
@@ -517,11 +619,18 @@ def finalize_results(out, ori_h, ori_w, exact_resize=False):
                            interpolation=cv2.INTER_LINEAR) > 0
                 for m in logits])
 
-    # boxes on the ori-res binary masks (amg.py batched_mask_to_box semantics)
-    bboxes = np.zeros((n, 4), np.float32)
-    for i, msk in enumerate(masks):
-        ys, xs = np.nonzero(msk)
-        if len(ys):
-            bboxes[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
+    # boxes on the ori-res binary masks (amg.py batched_mask_to_box
+    # semantics), via any-reductions — 15x faster than a per-mask
+    # np.nonzero loop (174 -> 12 ms for 100 masks at 480x640)
+    masks = np.ascontiguousarray(masks)
+    rows = masks.any(axis=2)
+    cols = masks.any(axis=1)
+    has = rows.any(axis=1)
+    y0 = rows.argmax(axis=1)
+    y1 = ori_h - 1 - rows[:, ::-1].argmax(axis=1)
+    x0 = cols.argmax(axis=1)
+    x1 = ori_w - 1 - cols[:, ::-1].argmax(axis=1)
+    bboxes = np.where(has[:, None],
+                      np.stack([x0, y0, x1, y1], 1).astype(np.float32), 0.0)
     return dict(binary_masks=masks, bboxes=bboxes, scores=scores,
                 labels=labels)

@@ -24,6 +24,7 @@ from no_time_to_train_tpu.data.datasets import (COCOMemoryFillCropDataset,
                                                 COCORefOracleTestDataset)
 from no_time_to_train_tpu.models.matching.pipeline import (NoAMGMatcher,
                                                            MatchingConfig,
+                                                           finalize_records,
                                                            finalize_results)
 from no_time_to_train_tpu.utils import checkpoint as ckpt_io
 
@@ -316,6 +317,14 @@ class MatcherRunner:
                 return self._run_test_data_parallel(
                     ds, stage_cfg, indices, (n_proc, proc_id, gather_dir),
                     export_result, output_name)
+            # AOT fast start: load the fingerprinted pre-compiled test step
+            # if one matches this source/config/topology (utils/aot.py);
+            # silently stays on jit + persistent cache otherwise
+            if self.model_cfg.get("aot", True):
+                status = self.matcher.enable_aot()
+                if status == "loaded":
+                    print("[aot] loaded precompiled test step "
+                          "(no jit compile)")
             workers = max(1, int(self.data_load_cfgs.get("workers", 0)) or 1)
             pool = ThreadPoolExecutor(max_workers=workers)
             futures = [pool.submit(ds.__getitem__, j) for j in indices[:2]]
@@ -385,17 +394,32 @@ class MatcherRunner:
         return vis_dir
 
     def _finalize_one(self, ds, stage_cfg, vis_dir, item, raw,
-                      analysis=True):
+                      analysis=True, fin=None):
         """Shared per-image tail of the test loops (single-device and DP):
         finalize raw device output at the original resolution and
         COCO-encode it; for non-pad rows (analysis=True) also queue the
         analysis scalars and the online visualization. Returns the encoded
-        per-image results."""
+        per-image results. `fin` lets the DP loop pass in a finalize
+        computed by a worker process (utils/finalize_pool.py)."""
         info = item["target_img_info"]
-        fin = finalize_results(raw, info["ori_height"], info["ori_width"])
-        per_img = dict(img_id=info["id"], scores=fin["scores"],
-                       labels=fin["labels"], boxes=fin["bboxes"],
-                       masks=fin["binary_masks"])
+        if fin is None and vis_dir is None:
+            # fused native finalize: upsample + binarize + RLE + box in one
+            # pass per mask, full-res masks never materialized (~7x the
+            # split path; byte-identical records). The vis path needs the
+            # binary masks, so it keeps finalize_results.
+            fin = finalize_records(raw, info["ori_height"],
+                                   info["ori_width"])
+        if fin is None:
+            fin = finalize_results(raw, info["ori_height"],
+                                   info["ori_width"])
+        if "segs" in fin:
+            per_img = dict(img_id=info["id"], scores=fin["scores"],
+                           labels=fin["labels"], boxes=fin["bboxes"],
+                           segs=fin["segs"])
+        else:
+            per_img = dict(img_id=info["id"], scores=fin["scores"],
+                           labels=fin["labels"], boxes=fin["bboxes"],
+                           masks=fin["binary_masks"])
         encoded = ds.encode_results([per_img])
         if analysis:
             self._queue_scalars(item, raw, fin)
@@ -585,6 +609,22 @@ class MatcherRunner:
 
         vis_dir = self._vis_dir(stage_cfg)
 
+        # finalize sharding: with data_load_cfgs["finalize_workers"] = W > 0
+        # the per-row native finalize (upsample+RLE+box) runs in W jax-free
+        # worker processes — one host core cannot finalize at an 8-chip
+        # device rate (tools/bench_finalize.py: 80 ms/img at 100 masks vs
+        # the ~12 ms/img budget), so rows of each device batch fan out and
+        # only the cheap record assembly stays in-process. Vis needs the
+        # full-res masks in-process, so it disables the pool.
+        fin_pool = None
+        fw = int(self.data_load_cfgs.get("finalize_workers", 0) or 0)
+        if fw > 0 and vis_dir is None:
+            from no_time_to_train_tpu.utils import native
+            if native.has_finalize():
+                from no_time_to_train_tpu.utils.finalize_pool import (
+                    FinalizePool)
+                fin_pool = FinalizePool(fw)
+
         # process-level pads sit at the shard tail (rank_real_count), on top
         # of the batch-level tail pads (n_valid)
         n_real = multihost.rank_real_count(len(ds), n_proc, proc_id)
@@ -592,6 +632,29 @@ class MatcherRunner:
         def finalize(items, n_valid, out, dt, base):
             self.time_queue.append(dt / n)
             raw_all = self._fetch_dp(out)
+            fins = [None] * len(items)
+            if fin_pool is not None:
+                futs = []
+                for j, item in enumerate(items):
+                    info = item["target_img_info"]
+                    nv = int(raw_all["valid"][j].sum())
+                    lr = raw_all["lr_logits"].shape[-1]
+                    if info["ori_height"] < lr or info["ori_width"] < lr:
+                        futs.append(None)  # antialiased downscale path
+                        continue
+                    futs.append(fin_pool.submit_row(
+                        raw_all["lr_logits"][j, :nv],
+                        info["ori_height"], info["ori_width"]))
+                for j, fut in enumerate(futs):
+                    if fut is None:
+                        continue
+                    segs, boxes = fut.result()
+                    nv = len(segs)
+                    fins[j] = dict(
+                        segs=segs, bboxes=boxes,
+                        scores=np.asarray(raw_all["scores"][j, :nv],
+                                          np.float32),
+                        labels=raw_all["labels"][j, :nv])
             for j, item in enumerate(items):
                 raw = {k: v[j] for k, v in raw_all.items()}
                 # pad duplicates (batch tail j >= n_valid, or process-level
@@ -599,7 +662,8 @@ class MatcherRunner:
                 # analysis rows / vis
                 per_rank[j].append(self._finalize_one(
                     ds, stage_cfg, vis_dir, item, raw,
-                    analysis=j < n_valid and base + j < n_real))
+                    analysis=j < n_valid and base + j < n_real,
+                    fin=fins[j]))
 
         pending = None
         for bi, batch in enumerate(batches):
@@ -616,6 +680,8 @@ class MatcherRunner:
         if pending is not None:
             finalize(*pending)
         pool.shutdown()
+        if fin_pool is not None:
+            fin_pool.shutdown()
         # within-process interleave: device j saw indices[j::n], so zipping
         # the device lists restores this process's shard order
         merged = interleave_results(per_rank, len(indices))

@@ -14,6 +14,7 @@ user-facing surface is `tools/aot_flagship.py` (export + timed reload), and
 """
 import os
 import pickle
+import sys
 
 import numpy as np
 
@@ -50,7 +51,7 @@ def _source_digest():
     return h.hexdigest()[:16]
 
 
-def _fingerprint():
+def _fingerprint(extra=None):
     import jax
     platform = _compile_platform()
     d = jax.devices(platform)[0]
@@ -60,10 +61,15 @@ def _fingerprint():
         "device_kind": getattr(d, "device_kind", "?"),
         "n_devices": len(jax.devices(platform)),
         "source": _source_digest(),
+        # caller-supplied config tag: the traced program depends on the
+        # matcher configuration (attention_impl, point_bs, dtype, bank
+        # shapes ...), which the source digest cannot see — an artifact
+        # exported under one config must NOT load under another
+        "extra": extra,
     }
 
 
-def export_step(fn, example_args, path):
+def export_step(fn, example_args, path, extra=None):
     """Lower+compile `fn(*example_args)` and serialize the executable.
 
     Writes `<path>` (pickle): {fingerprint, serialized executable bytes,
@@ -85,7 +91,7 @@ def export_step(fn, example_args, path):
                       for d in s.device_set}) or [0]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
-        pickle.dump({"fingerprint": _fingerprint(),
+        pickle.dump({"fingerprint": _fingerprint(extra),
                      "payload": payload,
                      "in_tree": in_tree,
                      "out_tree": out_tree,
@@ -93,10 +99,10 @@ def export_step(fn, example_args, path):
     return compiled
 
 
-def load_step(path):
+def load_step(path, extra=None):
     """Deserialize a compiled step. Returns the loaded executable or None
     when the artifact is absent or was built for a different
-    jaxlib/topology (callers fall back to jit + persistent cache)."""
+    jaxlib/topology/config (callers fall back to jit + persistent cache)."""
     from jax.experimental.serialize_executable import deserialize_and_load
 
     if not os.path.exists(path):
@@ -104,10 +110,13 @@ def load_step(path):
     try:
         with open(path, "rb") as f:
             blob = pickle.load(f)
-        fp = _fingerprint()   # once: it re-hashes the whole package source
+        fp = _fingerprint(extra)  # once: it re-hashes the package source
         if blob["fingerprint"] != fp:
-            print(f"[aot] fingerprint mismatch ({blob['fingerprint']} != "
-                  f"{fp}); falling back to jit")
+            diff = [k for k in fp
+                    if blob["fingerprint"].get(k) != fp[k]]
+            # stderr: bench.py's stdout carries exactly one JSON line
+            print(f"[aot] fingerprint mismatch on {diff}; falling back to "
+                  f"jit", file=sys.stderr)
             return None
         import jax
         platform = blob["fingerprint"]["platform"]
@@ -118,7 +127,7 @@ def load_step(path):
                                     execution_devices=devs)
     except Exception as e:  # version skew, corrupt file — never fatal
         print(f"[aot] load failed ({type(e).__name__}: {e}); falling back "
-              f"to jit")
+              f"to jit", file=sys.stderr)
         return None
 
 

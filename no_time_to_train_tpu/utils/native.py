@@ -59,6 +59,13 @@ def _load():
                                       ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_float, ctypes.c_void_p]
+    if hasattr(lib, "finalize_mask"):  # an older cached .so may predate it
+        lib.finalize_mask.restype = ctypes.c_int64
+        lib.finalize_mask.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_float,
+                                      ctypes.c_char_p, ctypes.c_void_p,
+                                      ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -102,6 +109,38 @@ def mask_iou(dt_masks, gt_masks, iscrowd):
     lib.mask_iou(dt.ctypes.data, nd, gt.ctypes.data, ng, ic.ctypes.data,
                  h * w, out.ctypes.data)
     return out
+
+
+_FIN_BUF = None
+
+
+def has_finalize():
+    lib = _load()
+    return lib is not None and hasattr(lib, "finalize_mask")
+
+
+def finalize_mask(logits, out_h, out_w, threshold=0.0):
+    """Fused per-mask finalize: bilinear upsample [in_h, in_w] f32 logits to
+    (out_h, out_w), binarize, and return the COCO RLE counts string plus the
+    XYXY box and pixel count — without materializing the full-res mask
+    (one native column-major pass, see native/nttt_native.cpp). Returns
+    (counts_str, box float32[4], n_pixels) or None when the lib is absent."""
+    global _FIN_BUF
+    lib = _load()
+    if lib is None or not hasattr(lib, "finalize_mask"):
+        return None
+    x = np.ascontiguousarray(logits, np.float32)
+    in_h, in_w = x.shape
+    need = 8 * out_h * out_w + 16
+    if _FIN_BUF is None or len(_FIN_BUF) < need:
+        _FIN_BUF = ctypes.create_string_buffer(need)
+    box = np.zeros(4, np.int32)
+    npix = ctypes.c_int64(0)
+    n = lib.finalize_mask(x.ctypes.data, in_h, in_w, out_h, out_w,
+                          ctypes.c_float(threshold), _FIN_BUF,
+                          box.ctypes.data, ctypes.byref(npix))
+    return (_FIN_BUF.raw[:n].decode("ascii"), box.astype(np.float32),
+            int(npix.value))
 
 
 def upsample_binarize(logits, out_h, out_w, threshold=0.0):

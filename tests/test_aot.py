@@ -64,3 +64,44 @@ def test_load_missing_and_mismatch(tmp_path):
     with open(path, "wb") as f:
         pickle.dump(blob, f)
     assert aot.load_step(path) is None
+
+
+def test_extra_fingerprint_gates(tmp_path):
+    """The config tag (matcher config repr) must gate loads: an artifact
+    exported under one config silently refuses to load under another."""
+    path = str(tmp_path / "step.bin")
+    a = jnp.ones((4, 4), jnp.float32)
+    aot.export_step(_fn, (a, a), path, extra="cfg-A")
+    assert aot.load_step(path, extra="cfg-A") is not None
+    assert aot.load_step(path, extra="cfg-B") is None
+    assert aot.load_step(path) is None  # no tag != tagged artifact
+
+
+def test_matcher_enable_aot_round_trip(tmp_path):
+    """enable_aot exports on miss, loads on the second call, and the
+    AOT-dispatched test_async matches the jit path bit-for-bit (same
+    compiled program, serialized and reloaded)."""
+    import __graft_entry__
+
+    path = str(tmp_path / "flagship.bin")
+    m = __graft_entry__._tiny_matcher()
+    img = np.random.default_rng(0).random((128, 128, 3), np.float32)
+    ref = m.test(img)  # jit path
+    assert m.enable_aot(path, export_on_miss=True) == "exported"
+    got = m.fetch_test(m.test_async(img))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+    m2 = __graft_entry__._tiny_matcher()
+    assert m2.enable_aot(path) == "loaded"
+    got2 = m2.fetch_test(m2.test_async(img))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got2[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+    # a different config must refuse the artifact (extra-fingerprint gate)
+    import dataclasses
+    m3 = __graft_entry__._tiny_matcher()
+    m3.matching = dataclasses.replace(m3.matching, nms_thr=0.9)
+    assert m3.enable_aot(path) == "jit"

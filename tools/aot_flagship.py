@@ -33,13 +33,6 @@ def build_matcher():
                         n_classes=20, memory_length=10)
 
 
-def step_fn(matcher):
-    def fn(sam2_params, dino_params, bank, img):
-        return matcher._test_impl(sam2_params, dino_params, bank, bank, img,
-                                  with_negative=False)
-    return fn
-
-
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     from no_time_to_train_tpu.utils import aot
@@ -48,15 +41,12 @@ def main():
     if mode == "export":
         from no_time_to_train_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
-        import jax
         matcher = build_matcher()
-        img = jax.device_put(np.random.default_rng(0).random(
-            (1024, 1024, 3), np.float32))
         t0 = time.time()
-        aot.export_step(step_fn(matcher),
-                        (matcher.sam2_params, matcher.dino_params,
-                         matcher.bank, img), path)
-        print(f"exported compiled step -> {path} "
+        # matcher.enable_aot folds the matcher config into the fingerprint —
+        # the same call bench.py/runner.py load through
+        status = matcher.enable_aot(path, export_on_miss=True)
+        print(f"{status}: compiled step -> {path} "
               f"({os.path.getsize(path) / 1e6:.0f} MB, "
               f"{time.time() - t0:.0f}s)")
         return
@@ -66,28 +56,27 @@ def main():
     os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
         prefix="empty_xla_cache_")
     import jax
-    t0 = time.time()
-    compiled = aot.load_step(path)
-    load_s = time.time() - t0
-    if compiled is None:
-        print("no AOT artifact; run `export` first")
-        sys.exit(1)
 
     t0 = time.time()
     matcher = build_matcher()   # params on device (no jit compilation)
     init_s = time.time() - t0
 
+    t0 = time.time()
+    status = matcher.enable_aot(path)
+    load_s = time.time() - t0
+    if status != "loaded":
+        print("no matching AOT artifact; run `export` first")
+        sys.exit(1)
+
     img = jax.device_put(np.random.default_rng(0).random(
         (1024, 1024, 3), np.float32))
     t0 = time.time()
-    out = compiled(matcher.sam2_params, matcher.dino_params, matcher.bank,
-                   img)
+    out = matcher.test_async(img)
     np.asarray(out["scores"])
     first_s = time.time() - t0
     t0 = time.time()
     for _ in range(4):
-        out = compiled(matcher.sam2_params, matcher.dino_params,
-                       matcher.bank, img)
+        out = matcher.test_async(img)
         np.asarray(out["scores"])
     steady = (time.time() - t0) / 4
     total = time.time() - t_start

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--stab-thresh", type=float, default=0.95)
     ap.add_argument("--config", default="sam2_hiera_l.yaml")
     args = ap.parse_args()
+    if args.imgs < 1:
+        ap.error(f"--imgs must be >= 1 (got {args.imgs})")
 
     from no_time_to_train_tpu.utils.cache import (enable_compilation_cache,
                                                   init_backend_bounded)
@@ -79,7 +81,7 @@ def main():
 
     rng = np.random.default_rng(0)
     imgs = []
-    for i in range(max(args.imgs, 1)):
+    for i in range(args.imgs):
         img = rng.random((args.size, args.size, 3)).astype(np.float32)
         # a few bright rectangles so some candidates survive the filters
         for j in range(4):
@@ -106,6 +108,13 @@ def main():
           f"crops={args.crops}, point_bs={args.point_bs}, "
           f"{n_masks:.0f} masks/img kept (first: {len(recs)}), "
           f"backend={jax.default_backend()})", file=sys.stderr)
+    if n_masks == 0:
+        # with random weights the IoU/stability filters can reject every
+        # candidate; the wall time is then decode-only (no host record
+        # extraction) and NOT comparable to a real-workload AMG number
+        print("# WARNING: 0 masks survived the filters — steady ms/img is "
+              "decode-only; lower --iou-thresh/--stab-thresh for a "
+              "record-extraction-inclusive number", file=sys.stderr)
 
 
 if __name__ == "__main__":
