@@ -219,7 +219,12 @@ class NoAMGMatcher:
                                                            jnp.floating):
                     a = a.astype(dtype)
                 return a
-            return jax.device_put(jax.tree.map(leaf, tree))
+            # packed upload: ONE transfer per dtype instead of one per leaf
+            # (the leaf-wise upload measured 339 s for the flagship pair
+            # through the tunnel, ~10x the link's bandwidth bound;
+            # utils/transfer.py)
+            from no_time_to_train_tpu.utils.transfer import packed_device_put
+            return packed_device_put(jax.tree.map(leaf, tree))
 
         self.init_timings["param_init_s"] = time.time() - t0
         t0 = time.time()

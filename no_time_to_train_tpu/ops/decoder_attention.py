@@ -272,6 +272,122 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
     return out
 
 
+def _i2t_pre_pair_kernel(keys_ref, qi_ref, kbd_ref, bias_ref, vbd_ref,
+                         wout_ref, bout_ref, nw_ref, nb_ref, seg_ref,
+                         segT_ref, o_ref, *, eps, elem_f32):
+    """_i2t_pre_kernel over an image PAIR per grid step (batching experiment,
+    VERDICT r4 #1): the two sub-problems are data-independent, so Mosaic's
+    scheduler is free to overlap image 0's VPU softmax/LN with image 1's MXU
+    GEMMs inside one kernel invocation — cross-image overlap that separate
+    grid steps (the vmap form) cannot express, since Mosaic pipelines only
+    DMA across steps, not compute."""
+    for j in range(2):
+        keys = keys_ref[j]                                # [bq, C]
+        qi = qi_ref[j]                                    # [bq, I] pre-scaled
+        s = jnp.dot(qi, kbd_ref[j, 0],
+                    preferred_element_type=jnp.float32)
+        s = s + bias_ref[0].astype(jnp.float32)           # [bq, H*Np]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l8 = jnp.dot(e, seg_ref[...], preferred_element_type=jnp.float32)
+        lb = jnp.dot(1.0 / l8, segT_ref[...],
+                     preferred_element_type=jnp.float32)
+        p = (e * lb).astype(keys.dtype)
+        attn = jnp.dot(p, vbd_ref[j, 0],
+                       preferred_element_type=jnp.float32)
+        y = jnp.dot(attn.astype(keys.dtype), wout_ref[...],
+                    preferred_element_type=jnp.float32)
+        y = y + bout_ref[0].astype(jnp.float32)
+        rl = keys + y.astype(keys.dtype)
+        rf = rl.astype(jnp.float32)
+        if elem_f32:
+            mu = jnp.mean(rf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+            inv = jax.lax.rsqrt(var + eps)
+            z = (rf - mu) * inv * nw_ref[0] + nb_ref[0]
+        else:
+            mu = jnp.mean(rf, axis=-1, keepdims=True)
+            ex2 = jnp.mean(rf * rf, axis=-1, keepdims=True)
+            inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
+            z = (rl - mu.astype(keys.dtype)) * inv.astype(keys.dtype)
+            z = z * nw_ref[0].astype(keys.dtype) \
+                + nb_ref[0].astype(keys.dtype)
+        o_ref[j, 0] = z.astype(o_ref.dtype)
+
+
+def fused_i2t_norm_pair(keys2, pe_q2, tok_k2, tok_v2, wq, bq, wout, bout,
+                        norm_w, norm_b, *, num_heads, eps=1e-5,
+                        pos_block=2048, interpret=False):
+    """Broadcast-keys i2t for an image PAIR with the pair INSIDE the kernel
+    body (see _i2t_pre_pair_kernel). keys2: [2, n, C]; pe_q2: [2, n, I]
+    (pre-projected); tok_k2/tok_v2: [2, P, T, I]. Returns [2, P, n, C].
+    Numerics identical to vmap(fused_i2t_norm) over the leading axis."""
+    interpret = interpret or _INTERPRET
+    two, p_, t, i = tok_k2.shape
+    _, n, c = keys2.shape
+    assert two == 2 and keys2.shape[0] == 2 and pe_q2.shape[0] == 2
+    h = num_heads
+    dh = i // h
+    np_ = 16
+    assert t <= np_ and h * np_ == i and wq.shape == (c, i)
+    dt = keys2.dtype
+    bq_pos = pos_block
+    while n % bq_pos:
+        bq_pos //= 2
+
+    kp = tok_k2.reshape(2, p_, t, h, dh)
+    vp = tok_v2.reshape(2, p_, t, h, dh)
+    eye = jnp.eye(h, dtype=jnp.float32)
+    kbd = jnp.einsum("xpjhd,hg->xphdgj", kp.astype(jnp.float32), eye)
+    kbd = jnp.pad(kbd, ((0, 0),) * 5 + ((0, np_ - t),))
+    kbd = kbd.reshape(2, p_, i, h * np_).astype(dt)
+    vbd = jnp.einsum("xpjhd,hg->xpgjhd", vp.astype(jnp.float32), eye)
+    vbd = jnp.pad(vbd, ((0, 0), (0, 0), (0, 0), (0, np_ - t), (0, 0),
+                        (0, 0)))
+    vbd = vbd.reshape(2, p_, h * np_, i).astype(dt)
+    pad_bias = np.where(np.arange(np_) < t, 0.0, -1e30)[None, :]
+    pad_bias = jnp.asarray(np.tile(pad_bias, (h, 1)).reshape(1, h * np_),
+                           jnp.float32)
+    segid = np.repeat(np.arange(h), np_)
+    seg = jnp.asarray((segid[:, None] == np.arange(h)[None])
+                      .astype(np.float32))
+    segT = jnp.asarray((np.arange(h)[:, None] == segid[None])
+                       .astype(np.float32))
+
+    nb = n // bq_pos
+    qi = (jnp.einsum("xnc,ci->xni", keys2.astype(dt), wq.astype(dt),
+                     preferred_element_type=jnp.float32)
+          + pe_q2.astype(dt).astype(jnp.float32)
+          + bq.astype(jnp.float32)) * (1.0 / (dh ** 0.5))
+    qi = qi.astype(dt)
+    out = pl.pallas_call(
+        functools.partial(_i2t_pre_pair_kernel, eps=eps,
+                          elem_f32=(dt == jnp.float32)),
+        grid=(nb, p_),
+        in_specs=[
+            pl.BlockSpec((2, bq_pos, c), lambda b, p: (0, b, 0)),
+            pl.BlockSpec((2, bq_pos, i), lambda b, p: (0, b, 0)),
+            pl.BlockSpec((2, 1, i, h * np_), lambda b, p: (0, p, 0, 0)),
+            pl.BlockSpec((1, h * np_), lambda b, p: (0, 0)),
+            pl.BlockSpec((2, 1, h * np_, i), lambda b, p: (0, p, 0, 0)),
+            pl.BlockSpec((i, c), lambda b, p: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+            pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+            pl.BlockSpec((h * np_, h), lambda b, p: (0, 0)),
+            pl.BlockSpec((h, h * np_), lambda b, p: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, 1, bq_pos, c), lambda b, p: (0, p, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, p_, n, c), dt),
+        interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")))),
+    )(keys2.astype(dt), qi, kbd, pad_bias, vbd, wout.astype(dt),
+      bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
+      norm_b[None].astype(jnp.float32), seg, segT)
+    return out
+
+
 def fused_i2t_norm_xla(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout,
                        norm_w, norm_b, *, num_heads, eps=1e-5):
     """Pure-XLA reference for fused_i2t_norm (tests/CPU fallback) — the exact

@@ -107,6 +107,15 @@ def load_step(path, extra=None):
 
     if not os.path.exists(path):
         return None
+    if _compile_platform() == "cpu" and not os.environ.get(
+            "NTTT_AOT_CPU_LOAD"):
+        # XLA:CPU deserialize is unreliable on this host (cpu_aot_loader
+        # logs a machine-feature mismatch and the loaded executable fails
+        # at fetch time with flaky "Buffer Definition Event ... not found"
+        # on larger programs). The AOT fast start targets the TPU; CPU
+        # callers fall back to jit. Override for unit tests via
+        # NTTT_AOT_CPU_LOAD=1.
+        return None
     try:
         with open(path, "rb") as f:
             blob = pickle.load(f)

@@ -99,6 +99,8 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--attention-impl", default="pallas",
                     choices=("pallas", "xla"))
+    ap.add_argument("--batch", type=int, default=1,
+                    help="profile the vmapped B-image step (test_batch_async)")
     args = ap.parse_args()
 
     if args.parse_only:
@@ -121,10 +123,16 @@ def main():
                            n_classes=20, memory_length=10)
     matcher.bank = mb.postprocess(matcher.bank)
     rng = np.random.default_rng(0)
-    img = jax.device_put(rng.random((1024, 1024, 3), np.float32))
+    if args.batch > 1:
+        img = jax.device_put(rng.random((args.batch, 1024, 1024, 3),
+                                        np.float32))
+        submit = matcher.test_batch_async
+    else:
+        img = jax.device_put(rng.random((1024, 1024, 3), np.float32))
+        submit = matcher.test_async
 
     def step():
-        out = matcher.test_async(img)
+        out = submit(img)
         np.asarray(out["scores"])
 
     t0 = time.time()
