@@ -140,16 +140,24 @@ class MultiScaleAttention(nn.Module):
             # head_dim (72 at Hiera dims) is not lane-aligned, so ANY
             # (heads, dh) split into sdpa's [B, H, N, D] layout is a real
             # relayout copy (profiled 2.9 ms/step even in the packed
-            # do-it-once form). sdpa_bnhd keeps q/k/v AND the result in the
-            # [b, t, heads, dh] layout the qkv GEMM produces — the
-            # head-batched contractions fold into the attention GEMMs.
-            qkv = qkv.reshape(b, t, 3, nh, d // nh)
-            out = sdpa_bnhd(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+            # do-it-once form). Windowed blocks (b = windows > 1; each
+            # leading-dim row attends within itself) go through the
+            # window-local kernel STRAIGHT off the packed qkv — no head
+            # split at all (the split copies profiled ~2.8 ms/step, the
+            # per-window XLA SDPA ~3.1). Global blocks (b == 1) and
+            # fallbacks use sdpa_bnhd, which keeps q/k/v AND the result in
+            # the [b, t, heads, dh] layout the qkv GEMM produces.
+            from no_time_to_train_tpu.ops.attention import window_sdpa_qkv
+            out_c = window_sdpa_qkv(qkv, heads=nh, win=t) if b > 1 else None
+            if out_c is None:
+                qkv = qkv.reshape(b, t, 3, nh, d // nh)
+                out_c = sdpa_bnhd(qkv[:, :, 0], qkv[:, :, 1],
+                                  qkv[:, :, 2]).reshape(b, t, d)
             if tokens:
-                out = out.reshape(b * t, -1)
-                y = D(self.dim_out, name="proj", dtype=self.dtype)(out)
+                y = D(self.dim_out, name="proj",
+                      dtype=self.dtype)(out_c.reshape(b * t, d))
                 return y.reshape(b, t, self.dim_out)
-            out = out.reshape(b, h, w, -1)
+            out = out_c.reshape(b, h, w, d)
             return D(self.dim_out, name="proj", dtype=self.dtype)(out)
 
 

@@ -97,6 +97,32 @@ def sdpa_bnhd(q, k, v, impl=None):
     return jnp.einsum("...hqk,...khd->...qhd", probs, v)
 
 
+def window_sdpa_qkv(qkv, *, heads, win, impl=None, min_tokens=4096):
+    """Batched window-local attention DIRECTLY on a packed qkv GEMM output
+    [B, T, 3C] where every leading-dim row is its own attention domain
+    (Hiera windowed blocks: B = image_batch * n_windows, T = window
+    tokens). Flattens to one window-major token stream and runs the
+    block-diagonal single-pass kernel (flash_attention.flash_sdpa_window_qkv)
+    — no [B, T, 3, H, D] head-split relayout, no per-window XLA SDPA.
+    Returns [B, T, C], or None when the pallas path doesn't apply (caller
+    keeps the split + sdpa_bnhd fallback)."""
+    if impl is None:
+        impl = _DEFAULT_IMPL
+    b, t, c3 = qkv.shape
+    from no_time_to_train_tpu.ops.upscale_product import fusion_disabled
+    if (impl != "pallas" or b * t < min_tokens or c3 % 3 or win != t
+            or _default_device_is_cpu() or fusion_disabled()):
+        return None
+    import jax as _jax
+    if _jax.default_backend() != "tpu":
+        return None
+    from no_time_to_train_tpu.ops.flash_attention import (
+        flash_sdpa_window_qkv)
+    out = flash_sdpa_window_qkv(qkv.reshape(1, b * t, c3), heads=heads,
+                                win=win)
+    return out.reshape(b, t, c3 // 3)
+
+
 def sdpa(q, k, v, mask=None, impl=None):
     """Attention over [..., heads, N, D]. `mask` is broadcastable to
     [..., heads, Nq, Nk] with True = attend (torch bool attn_mask semantics).

@@ -195,6 +195,86 @@ def _onepass_bnhd(q, k, v, block_q, n_valid, interpret=False):
     return out.reshape(b, n_q, h, d)
 
 
+def _window_qkv_kernel(qkv_ref, o_ref, *, heads, dim, win, sm_scale):
+    """Window-local attention DIRECTLY on the packed qkv GEMM output
+    ([BQ, 3*H*D] token-major, BQ a multiple of the window size): per head,
+    q/k/v are static lane slices, the [BQ, BQ] logits get an in-kernel
+    block-diagonal window mask (token i attends token j iff
+    i//win == j//win), one plain softmax, one PV GEMM. Queries, keys,
+    values AND the result never leave the qkv layout — the [B, T, 3, H, D]
+    head-split relayout copies this replaces were ~2.8 ms/step across the
+    Hiera windowed blocks."""
+    qkv = qkv_ref[0]
+    c = heads * dim
+    rows = jax.lax.broadcasted_iota(jnp.int32, (qkv.shape[0],) * 2, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qkv.shape[0],) * 2, 1)
+    madd = jnp.where(rows // win == cols // win, 0.0, -1e30)
+    outs = []
+    for i in range(heads):
+        q = qkv[:, i * dim:(i + 1) * dim]
+        k = qkv[:, c + i * dim:c + (i + 1) * dim]
+        v = qkv[:, 2 * c + i * dim:2 * c + (i + 1) * dim]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + madd
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp((s - m) * sm_scale)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _window_block_q(win):
+    """Largest multiple of `win` that is 8-sublane-divisible and <= ~512
+    rows (the Hiera window sizes: 64 -> 512, 16 -> 512, 196 -> 392,
+    49 -> 392)."""
+    k = max(1, 512 // win)
+    while k > 1 and (k * win) % 8:
+        k -= 1
+    bq = k * win
+    while bq % 8:  # win itself not 8-divisible: grow the multiple
+        bq += win
+    return bq
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "win", "interpret"))
+def flash_sdpa_window_qkv(qkv, *, heads, win, interpret=False):
+    """Batched window-local self-attention on packed qkv.
+
+    qkv: [B, N, 3C] with N = n_windows * win tokens in window-major order
+    (C = heads * dim); every `win`-token group attends only within itself —
+    exactly Hiera's windowed attention once the [Bw, T, C] window batch is
+    flattened to [B=1, Bw*T, 3C] (and also exact for true image batches:
+    each leading-dim row is its own attention domain). Returns [B, N, C].
+
+    Replaces, for the windowed blocks, BOTH the XLA per-window SDPA and the
+    qkv head-split relayout (hiera.py MultiScaleAttention). The window
+    count is padded so N divides into whole query blocks; pad windows
+    attend among themselves and are sliced off."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    dim = c // heads
+    sm_scale = 1.0 / (dim ** 0.5)
+    bq = _window_block_q(win)
+    n_pad = (-n) % bq
+    if n_pad:
+        qkv = jnp.pad(qkv, [(0, 0), (0, n_pad), (0, 0)])
+    kernel = functools.partial(_window_qkv_kernel, heads=heads, dim=dim,
+                               win=win, sm_scale=sm_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, (n + n_pad) // bq),
+        in_specs=[pl.BlockSpec((1, bq, c3), lambda b_, i: (b_, i, 0))],
+        out_specs=pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n + n_pad, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :n] if n_pad else out
+
+
 def flash_sdpa_bnhd(q, k, v):
     """Single-pass flash attention over [B, N, H, D] operands AND result
     (the layout a packed qkv GEMM produces — see attention.sdpa_bnhd).

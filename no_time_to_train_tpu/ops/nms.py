@@ -77,7 +77,17 @@ def batched_nms(boxes, scores, classes, valid, iou_threshold):
         return suppressed | (later & (arange_n >= start + block))
 
     init = jnp.pad(v_sorted & False, (0, pad), constant_values=True)
-    suppressed = jax.lax.fori_loop(0, n_pad // block, block_body, init)[:n]
+    n_blocks = n_pad // block
+    if n_blocks <= 16:
+        # unrolled: at flagship N (1024-2048 -> <= 16 blocks) the fori_loop's
+        # per-iteration overhead (~50 us/iter profiled, while.4) dominates
+        # its tiny body; unrolling lets XLA fuse/schedule the whole sweep
+        suppressed = init
+        for bi in range(n_blocks):
+            suppressed = block_body(bi, suppressed)
+        suppressed = suppressed[:n]
+    else:
+        suppressed = jax.lax.fori_loop(0, n_blocks, block_body, init)[:n]
     keep = (~suppressed) & v_sorted
     return order, keep
 

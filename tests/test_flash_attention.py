@@ -523,3 +523,82 @@ def test_flash_masked_tpu_parity(rng):
     ref = np.asarray(jax.jit(_xla_sdpa)(
         q, k, v, valid[:, None, None, :]), np.float32)
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.skipif(not fa._HAS_TPU_PALLAS, reason="no pallas tpu")
+def test_window_qkv_interpret(rng):
+    """Block-diagonal window kernel on packed qkv vs per-window XLA SDPA —
+    covers the even case (win divides the query block) and the padded-window
+    cases (win 49/196: block = several windows, window count padded)."""
+    for heads, dim, win, nw in ((2, 72, 64, 16), (4, 24, 16, 32),
+                                (2, 72, 49, 25), (1, 72, 196, 5)):
+        c = heads * dim
+        n = nw * win
+        qkv = jnp.asarray(rng.standard_normal((1, n, 3 * c)) * 0.5,
+                          jnp.float32)
+        got = fa.flash_sdpa_window_qkv(qkv, heads=heads, win=win,
+                                       interpret=True)
+        # reference: split heads, per-window batch SDPA
+        q, k, v = (qkv[0, :, i * c:(i + 1) * c].reshape(nw, win, heads, dim)
+                   .transpose(0, 2, 1, 3) for i in range(3))
+        ref = _xla_sdpa(q, k, v)                       # [nw, heads, win, dim]
+        ref = ref.transpose(0, 2, 1, 3).reshape(1, n, c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"win={win}")
+
+
+def test_window_sdpa_qkv_routing(monkeypatch, rng):
+    """The hiera-facing dispatch: declines on CPU/xla-impl/small inputs and
+    (via monkeypatch) routes the flattened window-major stream through the
+    kernel with win == t."""
+    from no_time_to_train_tpu.ops import attention as att
+    qkv = jnp.asarray(rng.standard_normal((8, 64, 3 * 144)), jnp.float32)
+    # CPU default device -> None
+    assert att.window_sdpa_qkv(qkv, heads=2, win=64) is None
+    calls = {}
+
+    def fake_kernel(x, *, heads, win):
+        calls["shape"] = x.shape
+        calls["win"] = win
+        return x[..., :x.shape[-1] // 3]
+
+    monkeypatch.setattr("no_time_to_train_tpu.ops.flash_attention."
+                        "flash_sdpa_window_qkv", fake_kernel)
+    monkeypatch.setattr(att, "_default_device_is_cpu", lambda: False)
+    import jax as _jax
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    out = att.window_sdpa_qkv(qkv, heads=2, win=64, impl="pallas",
+                              min_tokens=256)
+    assert out.shape == (8, 64, 144)
+    assert calls["shape"] == (1, 512, 3 * 144) and calls["win"] == 64
+    # xla impl -> None; win != t -> None; below min_tokens -> None
+    assert att.window_sdpa_qkv(qkv, heads=2, win=64, impl="xla",
+                               min_tokens=256) is None
+    assert att.window_sdpa_qkv(qkv, heads=2, win=32, impl="pallas",
+                               min_tokens=256) is None
+    assert att.window_sdpa_qkv(qkv, heads=2, win=64,
+                               impl="pallas") is None  # 512 < 4096 default
+
+
+def test_window_qkv_tpu_parity():
+    """Compiled window kernel vs XLA reference on the real TPU at the
+    flagship stage-1 and padded stage-4 shapes."""
+    import jax
+    dev = next((d for d in jax.devices() if d.platform != "cpu"), None)
+    if dev is None:
+        pytest.skip("no TPU device available")
+    rng = np.random.default_rng(5)
+    for heads, dim, win, nw in ((2, 72, 64, 256), (16, 72, 49, 25)):
+        c = heads * dim
+        n = nw * win
+        qkv = jax.device_put(jnp.asarray(
+            rng.standard_normal((1, n, 3 * c)) * 0.5, jnp.bfloat16), dev)
+        got = np.asarray(
+            fa.flash_sdpa_window_qkv(qkv, heads=heads, win=win), np.float32)
+        q, k, v = (qkv[0, :, i * c:(i + 1) * c].reshape(nw, win, heads, dim)
+                   .transpose(0, 2, 1, 3) for i in range(3))
+        ref = np.asarray(jax.jit(_xla_sdpa)(q, k, v), np.float32)
+        ref = ref.transpose(0, 2, 1, 3).reshape(1, n, c)
+        np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2,
+                                   err_msg=f"win={win}")
