@@ -353,7 +353,9 @@ class NoAMGMatcher:
     # ------------------------------------------------------------------ test
     def _decode_grid(self, sam2_params, img_1024):
         """Hiera + FPN once, then chunked batched decode over the full point
-        grid. Returns (lr_masks [P, 256, 256] f32, pred_ious [P], points [P,2])."""
+        grid. Returns (lr_masks [P, 256, 256] in the compute dtype — every
+        consumer binarizes or casts to fp16, both exact from bf16 —
+        pred_ious [P], points [P, 2])."""
         m = self.matching
         cfg = self.sam2_cfg
         s = cfg.image_size
