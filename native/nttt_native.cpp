@@ -238,6 +238,7 @@ int64_t finalize_mask(const float* logits, int64_t in_h, int64_t in_w,
     // runs are long, so 8 pixels/iteration is the common case).
     constexpr int64_t BW = 32;
     std::vector<float> colblk(in_h * BW);
+    std::vector<float> colblkT(BW * in_h);
     std::vector<uint8_t> vblk(out_h * BW);   // [out_h][BW] binarized
     std::vector<uint8_t> tv(BW * out_h);     // [BW][out_h] transposed
     std::vector<int64_t> cnts;
@@ -258,14 +259,27 @@ int64_t finalize_mask(const float* logits, int64_t in_h, int64_t in_w,
             x1b[jj] = std::min(x0b[jj] + 1, in_w - 1);
             fxb[jj] = static_cast<float>(srcx - x0b[jj]);
         }
-        // horizontal: row-major so writes are contiguous (the two source
-        // columns per jj are contiguous in tsrc and L2-resident)
-        for (int64_t r = 0; r < in_h; ++r) {
-            float* dst = colblk.data() + r * BW;
-            for (int64_t jj = 0; jj < bw; ++jj)
-                dst[jj] = tsrc[x0b[jj] * in_h + r] * (1.f - fxb[jj])
-                        + tsrc[x1b[jj] * in_h + r] * fxb[jj];
+        // horizontal, two sub-steps so BOTH vectorize: (a) per output
+        // column, interpolate the two CONTIGUOUS source columns into a
+        // column-major scratch (contiguous loads + stores, SIMD), then
+        // (b) a small blocked 32KB transpose into the row-major layout the
+        // vertical pass consumes (the two passes want opposite layouts;
+        // the transpose is ~5 us, the gathers it replaces were ~10x that)
+        for (int64_t jj = 0; jj < bw; ++jj) {
+            const float* c0 = tsrc.data() + x0b[jj] * in_h;
+            const float* c1 = tsrc.data() + x1b[jj] * in_h;
+            const float fx = fxb[jj];
+            float* dst = colblkT.data() + jj * in_h;
+            for (int64_t r = 0; r < in_h; ++r)
+                dst[r] = c0[r] * (1.f - fx) + c1[r] * fx;
         }
+        for (int64_t rb = 0; rb < in_h; rb += BT)
+            for (int64_t jj = 0; jj < bw; ++jj) {
+                const int64_t re = std::min(rb + BT, in_h);
+                const float* srcc = colblkT.data() + jj * in_h;
+                for (int64_t r = rb; r < re; ++r)
+                    colblk[r * BW + jj] = srcc[r];
+            }
         // vertical + binarize: vectorizes across the BW lanes
         for (int64_t i = 0; i < out_h; ++i) {
             const float* r0 = colblk.data() + y0[i] * BW;

@@ -55,8 +55,21 @@ def test_flagship_e2e_tpu_golden_stats():
     m = NoAMGMatcher("sam2_hiera_l.yaml", "dinov2_large",
                      MatchingConfig(compute_dtype="bfloat16"),
                      n_classes=20, memory_length=10)
+    # a zero (unfilled) bank yields all-zero similarities and the positive
+    # filter drops every mask — fill a few synthetic references first
+    rng = np.random.default_rng(7)
+    refs = rng.random((4, 512, 512, 3)).astype(np.float32)
+    ref_masks = np.zeros((4, 512, 512), np.float32)
+    for i in range(4):
+        ref_masks[i, 90 + 40 * i:300 + 20 * i, 140:400] = 1.0
+        refs[i, 90 + 40 * i:300 + 20 * i, 140:400] += 0.3
+    m.fill_memory(refs, ref_masks, [0, 1, 2, 3])
     m.bank = mb.postprocess(m.bank)
-    img = np.random.default_rng(0).random((1024, 1024, 3), np.float32)
+    img = np.random.default_rng(0).random((1024, 1024, 3)) \
+        .astype(np.float32) * 0.5
+    for j in range(5):  # bright blocks: structured, non-degenerate masks
+        y0, x0 = 120 + 150 * j, (90 + 170 * j) % 700
+        img[y0:y0 + 180, x0:x0 + 200] = 0.6 + 0.08 * j
     out = m.fetch_test(m.test_async(img))
     st = _stats(out)
     assert st["n_valid"] > 0, "flagship step produced no valid masks"
