@@ -233,18 +233,16 @@ def main():
     if video:
         # canonical video-propagation pair (VERDICT r4 #5): recorded in the
         # same capture as the image numbers, same tunnel conditions. 3-obj
-        # runs FIRST: its streaming masked memory-attention kernel is
-        # sensitive to device-allocator pressure from a prior video pass
-        # (measured: 52-57 ms/frame fresh vs 65-79 after a 1-obj pass;
-        # 1-obj measures 33-34 in any order)
-        import gc
+        # runs FIRST: its number is the noisier one (50-60 ms band; a 79
+        # outlier was once recorded late in a crowded process, while 1-obj
+        # measures 33-34 in any order) — first position keeps it closest to
+        # the fresh-process standalone protocol (tools/bench_video.py)
         try:
             for objs in (3, 1):
                 ms, n = _bench_video(matcher, n_frames=64, objs=objs)
                 print(f"# video: {ms:.0f} ms/frame = {1000.0 / ms:.1f} fps "
                       f"({objs} obj, 1024px, {n} frames timed)",
                       file=sys.stderr)
-                gc.collect()  # free the pass's device-resident video state
         except Exception as e:
             print(f"# video bench failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
