@@ -216,3 +216,26 @@ def test_fused_kernels_under_shard_map_tpu():
         lambda **a: da.fused_i2t_norm_xla(**a, num_heads=8))(**kw),
         np.float32)
     np.testing.assert_allclose(got, ref, atol=0.08, rtol=0.08)
+
+
+def test_fused_i2t_norm_pair_interpret():
+    """The image-PAIR broadcast i2t kernel (both images inside each grid
+    step — the in-kernel batching experiment, tools/bench_pair_kernel.py)
+    equals vmap of the single-image kernel / the XLA reference per image."""
+    rng = np.random.default_rng(3)
+    p, n, c, i, t, h = 8, 256, 256, 128, 8, 8
+    keys2 = jnp.asarray(rng.standard_normal((2, n, c)) * .5, jnp.float32)
+    pe2 = jnp.asarray(rng.standard_normal((2, n, i)) * .5, jnp.float32)
+    tk2 = jnp.asarray(rng.standard_normal((2, p, t, i)) * .5, jnp.float32)
+    tv2 = jnp.asarray(rng.standard_normal((2, p, t, i)) * .5, jnp.float32)
+    kw = _inputs(np.random.default_rng(4), p, n, c, i, t)
+    shared = {k: kw[k] for k in ("wq", "bq", "wout", "bout", "norm_w",
+                                 "norm_b")}
+    got = da.fused_i2t_norm_pair(keys2, pe2, tk2, tv2, **shared,
+                                 num_heads=h, pos_block=128, interpret=True)
+    assert got.shape == (2, p, n, c)
+    for j in range(2):
+        ref = da.fused_i2t_norm_xla(keys2[j][None], pe2[j], tk2[j], tv2[j],
+                                    **shared, num_heads=h)
+        np.testing.assert_allclose(np.asarray(got[j]), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5, err_msg=f"img {j}")

@@ -71,7 +71,8 @@ def main():
             lambda a: (np.asarray(a).astype(np.dtype(dtype))
                        if jnp.issubdtype(np.asarray(a).dtype, jnp.floating)
                        else np.asarray(a)), params)
-    params = jax.device_put(params)
+    from no_time_to_train_tpu.utils.transfer import packed_device_put
+    params = packed_device_put(params)  # one transfer/dtype over the tunnel
     amg = SAM2AutomaticMaskGenerator(
         model, params, points_per_side=args.points,
         points_per_batch=args.point_bs, pred_iou_thresh=args.iou_thresh,
