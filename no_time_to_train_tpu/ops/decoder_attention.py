@@ -139,6 +139,60 @@ def _i2t_pre_kernel(keys_ref, qi_ref, kbd_ref, bias_ref, vbd_ref, wout_ref,
     o_ref[0] = z.astype(o_ref.dtype)
 
 
+def _i2t_pre_p2_kernel(keys_ref, qi_ref, kbd_ref, bias_ref, vbd_ref,
+                       wout_ref, bout_ref, nw_ref, nb_ref, seg_ref,
+                       segT_ref, o_ref, *, eps, elem_f32):
+    """_i2t_pre_kernel over a PROMPT PAIR per grid step (broadcast keys):
+    the two prompts share keys/qi but have independent kbd/vbd, so their
+    GEMM->softmax->GEMM->LN chains are data-independent and Mosaic's
+    scheduler can overlap prompt 0's VPU legs with prompt 1's MXU legs —
+    the same in-kernel interleave that won 28% on the image-pair
+    experiment (tools/bench_pair_kernel.py), applied WITHIN one image."""
+    keys = keys_ref[0]                                   # [bq, C] shared
+    qi = qi_ref[...]                                     # [bq, I] shared
+    for j in range(2):
+        s = jnp.dot(qi, kbd_ref[j], preferred_element_type=jnp.float32)
+        s = s + bias_ref[0].astype(jnp.float32)          # [bq, H*Np]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l8 = jnp.dot(e, seg_ref[...], preferred_element_type=jnp.float32)
+        lb = jnp.dot(1.0 / l8, segT_ref[...],
+                     preferred_element_type=jnp.float32)
+        p = (e * lb).astype(keys.dtype)
+        attn = jnp.dot(p, vbd_ref[j], preferred_element_type=jnp.float32)
+        y = jnp.dot(attn.astype(keys.dtype), wout_ref[...],
+                    preferred_element_type=jnp.float32)
+        y = y + bout_ref[0].astype(jnp.float32)
+        rl = keys + y.astype(keys.dtype)
+        rf = rl.astype(jnp.float32)
+        if elem_f32:
+            mu = jnp.mean(rf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+            inv = jax.lax.rsqrt(var + eps)
+            z = (rf - mu) * inv * nw_ref[0] + nb_ref[0]
+        else:
+            mu = jnp.mean(rf, axis=-1, keepdims=True)
+            ex2 = jnp.mean(rf * rf, axis=-1, keepdims=True)
+            inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
+            z = (rl - mu.astype(keys.dtype)) * inv.astype(keys.dtype)
+            z = z * nw_ref[0].astype(keys.dtype) \
+                + nb_ref[0].astype(keys.dtype)
+        o_ref[j] = z.astype(o_ref.dtype)
+
+
+# Prompt-pair interleave toggle for the broadcast i2t kernel.
+# MEASURED-AND-REJECTED (round 5): 3.98 ms/pass vs 3.78 single at the
+# flagship shapes — unlike the IMAGE pair (2.75/img vs 3.83, where both
+# keys and prompt tensors differ per chain), sharing keys/qi does not let
+# Mosaic interleave the chains; the doubled out/kbd/vbd blocks appear to
+# eat the double-buffering headroom instead. Kept opt-in
+# (NTTT_PROMPT_PAIR=1) with interpret parity so the experiment stays
+# reproducible.
+def _prompt_pair_enabled():
+    import os
+    return os.environ.get("NTTT_PROMPT_PAIR", "0") == "1"
+
+
 def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
                    norm_b, *, num_heads, eps=1e-5, pos_block=2048,
                    interpret=False):
@@ -201,6 +255,38 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
               + pe_q[0].astype(dt).astype(jnp.float32)
               + bq.astype(jnp.float32)) * (1.0 / (dh ** 0.5))
         qi = qi.astype(dt)
+        if p_ % 2 == 0 and _prompt_pair_enabled():
+            # prompt-pair body: two independent chains per grid step for
+            # Mosaic to interleave (see _i2t_pre_p2_kernel)
+            out = pl.pallas_call(
+                functools.partial(_i2t_pre_p2_kernel, eps=eps,
+                                  elem_f32=(dt == jnp.float32)),
+                grid=(nb, p_ // 2),
+                in_specs=[
+                    pl.BlockSpec((1, bq_pos, c), lambda b, p: (0, b, 0)),
+                    pl.BlockSpec((bq_pos, i), lambda b, p: (b, 0)),
+                    pl.BlockSpec((2, i, h * np_), lambda b, p: (p, 0, 0)),
+                    pl.BlockSpec((1, h * np_), lambda b, p: (0, 0)),
+                    pl.BlockSpec((2, h * np_, i), lambda b, p: (p, 0, 0)),
+                    pl.BlockSpec((i, c), lambda b, p: (0, 0)),
+                    pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+                    pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+                    pl.BlockSpec((1, c), lambda b, p: (0, 0)),
+                    pl.BlockSpec((h * np_, h), lambda b, p: (0, 0)),
+                    pl.BlockSpec((h, h * np_), lambda b, p: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((2, bq_pos, c),
+                                       lambda b, p: (p, b, 0)),
+                out_shape=jax.ShapeDtypeStruct((p_, n, c), dt),
+                interpret=interpret,
+                **({} if interpret else dict(
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("arbitrary", "arbitrary")))),
+            )(keys.astype(dt), qi, kbd, pad_bias, vbd, wout.astype(dt),
+              bout[None].astype(jnp.float32),
+              norm_w[None].astype(jnp.float32),
+              norm_b[None].astype(jnp.float32), seg, segT)
+            return out
         out = pl.pallas_call(
             functools.partial(_i2t_pre_kernel, eps=eps,
                               elem_f32=(dt == jnp.float32)),

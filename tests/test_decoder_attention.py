@@ -239,3 +239,21 @@ def test_fused_i2t_norm_pair_interpret():
                                     **shared, num_heads=h)
         np.testing.assert_allclose(np.asarray(got[j]), np.asarray(ref),
                                    rtol=3e-5, atol=3e-5, err_msg=f"img {j}")
+
+
+def test_fused_i2t_norm_prompt_pair_interpret(monkeypatch):
+    """The opt-in prompt-pair broadcast body (NTTT_PROMPT_PAIR=1;
+    measured-and-rejected on device, kept reproducible) equals the default
+    single-prompt kernel."""
+    monkeypatch.setenv("NTTT_PROMPT_PAIR", "1")
+    rng = np.random.default_rng(6)
+    p, n, c, i, t = 8, 256, 256, 128, 8
+    kw = _inputs(rng, p, n, c, i, t, pk=1)
+    assert da._prompt_pair_enabled()
+    got = da.fused_i2t_norm(**kw, num_heads=8, pos_block=128,
+                            interpret=True)
+    ref = da.fused_i2t_norm_xla(**kw, num_heads=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+    monkeypatch.setenv("NTTT_PROMPT_PAIR", "0")
+    assert not da._prompt_pair_enabled()
