@@ -102,6 +102,54 @@ def _i2t_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref, bq_ref,
     o_ref[0] = z.astype(o_ref.dtype)
 
 
+def _i2t_p2_kernel(keys_ref, peq_ref, kbd_ref, bias_ref, vbd_ref, wq_ref,
+                   bq_ref, wout_ref, bout_ref, nw_ref, nb_ref, seg_ref,
+                   segT_ref, o_ref, *, sm_scale, eps, elem_f32,
+                   pe_whole=False):
+    """_i2t_kernel over a PROMPT PAIR per grid step (per-prompt keys): the
+    two prompts have independent keys AND kbd/vbd — the same fully
+    independent chain structure as the image-pair experiment (2.75 vs 3.15
+    ms/img), so Mosaic can overlap prompt 0's VPU softmax/LN with prompt
+    1's MXU GEMMs inside one invocation."""
+    bq_n = keys_ref.shape[1]
+    if pe_whole:
+        peq = peq_ref[0, pl.ds(pl.program_id(1) * bq_n, bq_n), :]
+    else:
+        peq = peq_ref[0]
+    for j in range(2):
+        keys = keys_ref[j]                               # [bq, C]
+        qi = jnp.dot(keys, wq_ref[...], preferred_element_type=jnp.float32)
+        qi = ((qi + peq.astype(jnp.float32)
+               + bq_ref[0].astype(jnp.float32)) * sm_scale).astype(keys.dtype)
+        s = jnp.dot(qi, kbd_ref[j], preferred_element_type=jnp.float32)
+        s = s + bias_ref[0].astype(jnp.float32)          # [bq, H*Np]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l8 = jnp.dot(e, seg_ref[...], preferred_element_type=jnp.float32)
+        lb = jnp.dot(1.0 / l8, segT_ref[...],
+                     preferred_element_type=jnp.float32)
+        p = (e * lb).astype(keys.dtype)
+        attn = jnp.dot(p, vbd_ref[j], preferred_element_type=jnp.float32)
+        y = jnp.dot(attn.astype(keys.dtype), wout_ref[...],
+                    preferred_element_type=jnp.float32)
+        y = y + bout_ref[0].astype(jnp.float32)
+        rl = keys + y.astype(keys.dtype)
+        rf = rl.astype(jnp.float32)
+        if elem_f32:
+            mu = jnp.mean(rf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+            inv = jax.lax.rsqrt(var + eps)
+            z = (rf - mu) * inv * nw_ref[0] + nb_ref[0]
+        else:
+            mu = jnp.mean(rf, axis=-1, keepdims=True)
+            ex2 = jnp.mean(rf * rf, axis=-1, keepdims=True)
+            inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
+            z = (rl - mu.astype(keys.dtype)) * inv.astype(keys.dtype)
+            z = z * nw_ref[0].astype(keys.dtype) \
+                + nb_ref[0].astype(keys.dtype)
+        o_ref[j] = z.astype(o_ref.dtype)
+
+
 def _i2t_pre_kernel(keys_ref, qi_ref, kbd_ref, bias_ref, vbd_ref, wout_ref,
                     bout_ref, nw_ref, nb_ref, seg_ref, segT_ref, o_ref,
                     *, eps, elem_f32):
@@ -191,6 +239,19 @@ def _i2t_pre_p2_kernel(keys_ref, qi_ref, kbd_ref, bias_ref, vbd_ref,
 def _prompt_pair_enabled():
     import os
     return os.environ.get("NTTT_PROMPT_PAIR", "0") == "1"
+
+
+def _perprompt_pair_enabled():
+    """Pair toggle for the PER-PROMPT kernels (independent keys per chain —
+    the structure the image-pair experiment proved Mosaic interleaves).
+    MEASURED-AND-REJECTED e2e (round 5): the isolated i2t pass DOES win
+    (3.67 vs 4.01 ms, bit-identical; t2i par 3.18 vs 3.21) but the full
+    flagship step measured 93/93 ms/img against 91/91 without — the
+    doubled keys/out blocks (4 MB/step extra VMEM working set) evidently
+    crowd out neighboring-op overlap that the isolated loop doesn't see.
+    Opt-in via NTTT_PERPROMPT_PAIR=1; interpret parity stays in the suite."""
+    import os
+    return os.environ.get("NTTT_PERPROMPT_PAIR", "0") == "1"
 
 
 def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
@@ -311,6 +372,48 @@ def fused_i2t_norm(keys, pe_q, tok_k, tok_v, wq, bq, wout, bout, norm_w,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("arbitrary", "arbitrary")))),
         )(keys.astype(dt), qi, kbd, pad_bias, vbd, wout.astype(dt),
+          bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
+          norm_b[None].astype(jnp.float32), seg, segT)
+        return out
+
+    # Per-prompt PAIR body (default ON, NTTT_PERPROMPT_PAIR=0 reverts):
+    # unlike the rejected shared-keys prompt pair on the broadcast body,
+    # per-prompt chains are FULLY independent (own keys + own kbd/vbd) —
+    # the structure the image-pair experiment proved Mosaic interleaves.
+    if pk == p_ and pe_b == 1 and p_ % 2 == 0 and _perprompt_pair_enabled():
+        pe_whole = nb > 1
+        if pe_whole:
+            pe_spec = pl.BlockSpec((1, n, i), lambda p, b: (0, 0, 0))
+        else:
+            pe_spec = pl.BlockSpec((1, bq_pos, i), lambda p, b: (0, b, 0))
+        out = pl.pallas_call(
+            functools.partial(_i2t_p2_kernel, sm_scale=1.0 / (dh ** 0.5),
+                              eps=eps, elem_f32=(dt == jnp.float32),
+                              pe_whole=pe_whole),
+            grid=(p_ // 2, nb),
+            in_specs=[
+                pl.BlockSpec((2, bq_pos, c), lambda p, b: (p, b, 0)),
+                pe_spec,
+                pl.BlockSpec((2, i, h * np_), lambda p, b: (p, 0, 0)),
+                pl.BlockSpec((1, h * np_), lambda p, b: (0, 0)),
+                pl.BlockSpec((2, h * np_, i), lambda p, b: (p, 0, 0)),
+                pl.BlockSpec((c, i), lambda p, b: (0, 0)),
+                pl.BlockSpec((1, i), lambda p, b: (0, 0)),
+                pl.BlockSpec((i, c), lambda p, b: (0, 0)),
+                pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+                pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+                pl.BlockSpec((1, c), lambda p, b: (0, 0)),
+                pl.BlockSpec((h * np_, h), lambda p, b: (0, 0)),
+                pl.BlockSpec((h, h * np_), lambda p, b: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((2, bq_pos, c), lambda p, b: (p, b, 0)),
+            out_shape=jax.ShapeDtypeStruct((p_, n, c), dt),
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")))),
+        )(keys.astype(dt), pe_q.astype(dt), kbd, pad_bias, vbd,
+          wq.astype(dt), bq[None].astype(jnp.float32), wout.astype(dt),
           bout[None].astype(jnp.float32), norm_w[None].astype(jnp.float32),
           norm_b[None].astype(jnp.float32), seg, segT)
         return out
@@ -554,6 +657,52 @@ def _t2i_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
         o_ref[0] = (acc_ref[...] * linv).astype(o_ref.dtype)
 
 
+def _t2i_p2_kernel(keys_ref, pek_ref, qbd_ref, bias_ref, wk_ref, bk_ref,
+                   wv_ref, bv_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                   n_blocks, h_tp):
+    """_t2i_kernel over a PROMPT PAIR per grid step (independent keys and
+    qbd per chain — the image-pair interleave structure). Scratch carries
+    rows [2*H*Tp]; static pl.ds slices address each prompt's half."""
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    pe = pek_ref[0].astype(jnp.float32)                  # shared [bk, I]
+    for j in range(2):
+        keys = keys_ref[j]                               # [bk, C]
+        kk = jnp.dot(keys, wk_ref[...], preferred_element_type=jnp.float32)
+        kk = (kk + pe + bk_ref[0].astype(jnp.float32)).astype(keys.dtype)
+        vv = jnp.dot(keys, wv_ref[...], preferred_element_type=jnp.float32)
+        vv = (vv + bv_ref[0].astype(jnp.float32)).astype(keys.dtype)
+        s = jnp.dot(kk, qbd_ref[j], preferred_element_type=jnp.float32)
+        s = s + bias_ref[0].astype(jnp.float32)          # [bk, H*Tp]
+        m_j = m_ref[pl.ds(j, 1)]                         # [1, H*Tp]
+        l_j = l_ref[pl.ds(j, 1)]
+        acc_j = acc_ref[pl.ds(j * h_tp, h_tp)]           # [H*Tp, I]
+        m_cur = jnp.max(s, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_j, m_cur)
+        alpha = jnp.exp(m_j - m_new)
+        e = jnp.exp(s - m_new)
+        l_ref[pl.ds(j, 1)] = l_j * alpha \
+            + jnp.sum(e, axis=0, keepdims=True)
+        upd = jax.lax.dot_general(e.astype(keys.dtype), vv,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc_ref[pl.ds(j * h_tp, h_tp)] = acc_j * alpha[0][:, None] + upd
+        m_ref[pl.ds(j, 1)] = m_new
+
+    @pl.when(bi == n_blocks - 1)
+    def _finish():
+        for j in range(2):
+            linv = (1.0 / l_ref[pl.ds(j, 1)])[0][:, None]
+            o_ref[j] = (acc_ref[pl.ds(j * h_tp, h_tp)]
+                        * linv).astype(o_ref.dtype)
+
+
 def _t2i_pre_kernel(kk_ref, vv_ref, qbd_ref, bias_ref, o_ref, m_ref, l_ref,
                     acc_ref, *, n_blocks):
     """_t2i_kernel with the k/v projections PRE-computed (broadcast-keys
@@ -664,6 +813,42 @@ def fused_t2i_attn(keys, pe_k, tok_q, wk, bk, wv, bv, *, num_heads,
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "arbitrary")))),
         )(kk, vv, qbd, pad_bias)
+        o4 = out.reshape(p_, h, tp, h, dh)
+        o4 = o4[:, jnp.arange(h), :, jnp.arange(h), :]
+        return (o4.transpose(1, 2, 0, 3)[:, :t]
+                .reshape(p_, t, i).astype(dt))
+
+    if pk == p_ and pe_b == 1 and p_ % 2 == 0 and _perprompt_pair_enabled():
+        # prompt-pair body: two independent online-softmax chains per grid
+        # step (own keys + own qbd) — see _t2i_p2_kernel
+        out = pl.pallas_call(
+            functools.partial(_t2i_p2_kernel, n_blocks=n_blocks,
+                              h_tp=h * tp),
+            grid=(p_ // 2, n_blocks),
+            in_specs=[
+                pl.BlockSpec((2, bk_pos, c), lambda p, b: (p, b, 0)),
+                pl.BlockSpec((1, bk_pos, i), lambda p, b: (0, b, 0)),
+                pl.BlockSpec((2, i, h * tp), lambda p, b: (p, 0, 0)),
+                pl.BlockSpec((1, h * tp), lambda p, b: (0, 0)),
+                pl.BlockSpec((c, i), lambda p, b: (0, 0)),
+                pl.BlockSpec((1, i), lambda p, b: (0, 0)),
+                pl.BlockSpec((c, i), lambda p, b: (0, 0)),
+                pl.BlockSpec((1, i), lambda p, b: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((2, h * tp, i), lambda p, b: (p, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((p_, h * tp, i), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, h * tp), jnp.float32),
+                pltpu.VMEM((2, h * tp), jnp.float32),
+                pltpu.VMEM((2 * h * tp, i), jnp.float32),
+            ],
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")))),
+        )(keys.astype(dt), pe_k.astype(dt), qbd, pad_bias,
+          wk.astype(dt), bk[None].astype(jnp.float32),
+          wv.astype(dt), bv[None].astype(jnp.float32))
         o4 = out.reshape(p_, h, tp, h, dh)
         o4 = o4[:, jnp.arange(h), :, jnp.arange(h), :]
         return (o4.transpose(1, 2, 0, 3)[:, :t]
